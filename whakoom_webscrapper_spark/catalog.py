@@ -1,0 +1,112 @@
+"""Table catalog + named-view registry.
+
+The reference keeps a dict of named SQL queries parsed from ``queries/*.sql``
+(reference: sqlmanager.py:36-67, ``_load_queries_from_files``) and a
+migrations table for schema versioning (sqlmanager.py:169-264). The engine's
+equivalents:
+
+- ``load_tables``/``register_views`` — one ``spark.read.parquet`` per table,
+  registered as a temp view so both the DataFrame API and ``spark.sql`` can
+  address it. Parquet scans get predicate pushdown + column pruning for free.
+- ``NAMED_QUERIES`` — the named-query registry: name → SQL string over the
+  registered views (the Spark-side analog of the ``# NAME\\nSQL`` blocks in
+  reference queries/lists.sql:1-64).
+
+Schema versioning: each engine state directory carries ``_meta/version``; a
+mismatch at open time is the analog of a pending migration
+(sqlmanager.py:197-234). Iceberg would give us this via snapshot/schema
+history; the Parquet fallback keeps it explicit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SCHEMA_VERSION = 1
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-provided parquet table (predicate pushdown kept)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (idempotent)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+# Named-query registry — analog of reference queries/lists.sql named blocks.
+# Keys mirror the reference's GET_/INSERT_ naming convention where a direct
+# analog exists (queries/lists.sql:11-64).
+NAMED_QUERIES: dict[str, str] = {
+    # GET_PENDING_LISTS (queries/lists.sql:11-22): status filter + ORDER BY
+    "GET_PENDING_ORDERS": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey
+    """,
+    # GET_LISTS_BY_PROFILE (queries/lists.sql:24-35): equality filter
+    "GET_ORDERS_BY_PRIORITY": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey
+    """,
+    # README.md:461-473 operational log queries → recent-events view
+    "GET_RECENT_EVENTS": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+}
+
+
+def run_named_query(spark: SparkSession, name: str) -> DataFrame:
+    """Execute a registry query by name (views must be registered)."""
+    return spark.sql(NAMED_QUERIES[name])
+
+
+def write_version(path: str, version: int = SCHEMA_VERSION) -> None:
+    """Record the state-directory schema version (migration analog)."""
+    os.makedirs(os.path.join(path, "_meta"), exist_ok=True)
+    with open(os.path.join(path, "_meta", "version.json"), "w") as f:
+        json.dump({"schema_version": version}, f)
+
+
+def read_version(path: str) -> int | None:
+    p = os.path.join(path, "_meta", "version.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["schema_version"])
+
+
+def check_version(path: str) -> None:
+    """Fail fast on schema mismatch — the analog of an unapplied migration
+    (reference: sqlmanager.py:236-264 applies pending migrations; we refuse
+    instead, because state rewrites at 100 TB must be explicit jobs)."""
+    v = read_version(path)
+    if v is not None and v != SCHEMA_VERSION:
+        raise RuntimeError(
+            f"state dir {path} has schema_version={v}, engine expects "
+            f"{SCHEMA_VERSION}; run the migration job first"
+        )

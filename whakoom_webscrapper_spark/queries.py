@@ -1,0 +1,869 @@
+"""Named query registry — every SURVEY.md §2 operator family as a
+(Spark DataFrame builder, DuckDB oracle SQL) pair over the driver's
+testdata tables.
+
+This is the engine analog of the reference's named-query catalog
+(reference: sqlmanager.py:36-67 parses ``# NAME`` blocks from
+queries/lists.sql into a dict; reference: sqlmanager.py:93-117 executes by
+name). Here each name maps to a DataFrame builder ``(spark, sf_dir) ->
+DataFrame``; ``ORACLE_SQL`` carries the independently-written ANSI-SQL
+equivalent used by the driver's DuckDB correctness gate.
+
+Conventions:
+- every computed column is aliased identically on both sides;
+- double-typed aggregates are rounded (2-5 digits) so IEEE summation-order
+  differences between engines cannot flip the value hash;
+- timestamps are projected as epoch seconds (bigint) to avoid
+  engine-specific string formats;
+- LIMIT queries carry a total-order tie-break so the selected set is
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whakoom_webscrapper_spark.catalog import load_table
+from whakoom_webscrapper_spark.functions import text as T
+from whakoom_webscrapper_spark.functions import urls as U
+from whakoom_webscrapper_spark.functions import vectors as V
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder and (optionally) its DuckDB oracle."""
+
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (SURVEY.md §2.5 A1-A4) — flagship pricing summary.
+# The reference's only aggregate is the close-time status rollup
+# (pipelines.py:53-73); this is the same partial+final hash-agg shape at
+# scale: map-side combine, 8 aggregates, 2 group keys, filter pushed to scan.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection family (P8 status predicate — queries/lists.sql:11-22
+# GET_PENDING_LISTS; P1-P3 projections — spiders/lists.py:35-47).
+# Predicate + column pruning reach the parquet scan (partition-prunable).
+# ---------------------------------------------------------------------------
+@query(
+    "pending_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+           o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def pending_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "urgent_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+    """,
+)
+def urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 100000)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J4/J5 FK equi-joins — 001_initial_schema.sql:31-58).
+# customer⋈nation⋈region: both dims broadcast (AQE picks BroadcastHashJoin;
+# dims are KBs). At 100 TB the fact side never shuffles for this plan.
+# ---------------------------------------------------------------------------
+@query(
+    "region_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "order_revenue_topk",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi join family (J6 pending-work semantics — README.md:179-183,
+# queries/lists.sql:11-22: "fetch only what is not yet done").
+# ---------------------------------------------------------------------------
+@query(
+    "orders_without_items",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "active_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (J1/J2 — the reference's core requirement: a title in many
+# lists is scraped once; pipelines.py:32-34 seen-sets, UNIQUE keys
+# 001_initial_schema.sql:4,19). Window dedup = the MERGE-on-read fallback.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        )
+    )
+
+
+# Union + dedup (J7 — discovered URLs union into the frontier,
+# spiders/lists.py:49-55 + scheduler dedup).
+@query(
+    "union_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM (
+        SELECT user_id, event_type FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, event_type FROM events WHERE event_type IN ('click','view')
+    )
+    """,
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id", "event_type")
+    b = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type"
+    )
+    return a.unionByName(b).dropDuplicates(["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Rollup family (A1 status rollup — pipelines.py:53-73; A2 log analytics —
+# README.md:461-473; A4 duration stats — sqlmanager.py:273,283-284).
+# ---------------------------------------------------------------------------
+@query(
+    "status_rollup",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+@query(
+    "value_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# Distinct accounting (A3 — |unique titles|, README.md:333-335). Exact here
+# for the oracle; monitoring uses approx_count_distinct (see
+# ``approx_distinct_users`` below, rows-only check).
+@query(
+    "distinct_users",
+    oracle="SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query("approx_distinct_users")  # no oracle: HLL sketch is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit family (O1 ordered reads — queries/lists.sql:22,35,64; O4
+# LIMIT views — README.md:467). TakeOrderedAndProject, no full sort at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .limit(10)
+    )
+
+
+# Window position (O2 — per-list position, 001_initial_schema.sql:35;
+# §2.7 deterministic total order via tie-break).
+@query(
+    "order_position",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS position
+    FROM orders
+    """,
+)
+def order_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped window aggregation (§2.8 micro-batch semantics): the
+# batch-parity form of the Structured Streaming job in streaming/events.py.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hour_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# JSON blob extraction — analog of title_enriched.additional_data JSON TEXT
+# column (001_initial_schema.sql:92, README.md:140,172): from_json/
+# get_json_object instead of app-side json.loads.
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (U1/U2/J3 — Scrapy fingerprinter settings.py:139,
+# urlparse projection spiders/lists.py:35-36). URLs are constructed
+# deterministically from documents rows in four shape variants; the oracle
+# states the *expected canonical string* directly, so this is a golden test
+# of the canonicalizer, not a second implementation of it.
+# ---------------------------------------------------------------------------
+_URL_BUILD_SQL = """
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'HTTP://HostA.COM:80/Alpha/' || doc_id || '/?b=2&a=1#x'
+          WHEN 1 THEN 'https://HostB.com:443/'
+          WHEN 2 THEN 'http://hostc.com'
+          ELSE 'https://HostD.com:8443/p?q=' || doc_id
+        END
+"""
+
+
+@query(
+    "url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           {_URL_BUILD_SQL} AS raw_url,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'http://hosta.com/Alpha/' || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'https://hostb.com/'
+             WHEN 2 THEN 'http://hostc.com/'
+             ELSE 'https://hostd.com:8443/p?q=' || doc_id
+           END AS canonical_url,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'hosta.com'
+             WHEN 1 THEN 'hostb.com'
+             WHEN 2 THEN 'hostc.com'
+             ELSE 'hostd.com'
+           END AS host
+    FROM documents
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_URL_BUILD_SQL.strip())
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        U.canonicalize_url(raw).alias("canonical_url"),
+        U.url_host(raw).alias("host"),
+    )
+
+
+@query("url_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
+def url_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_URL_BUILD_SQL.strip())
+    return d.select(
+        "doc_id",
+        U.url_hash(raw).alias("url_hash"),
+        U.host_bucket(U.url_host(raw)).alias("host_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family (training-data ops over ``documents``): token
+# counting, quality scoring, language ID, fingerprint dedup. All pure
+# Catalyst expressions — see functions/text.py.
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                      / length(text) END, 5) AS punct_r,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / length(text) END, 5) AS digit_r
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(T.punct_ratio(t), 5).alias("punct_r"),
+        F.round(T.digit_ratio(t), 5).alias("digit_r"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "|".join(T.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+@query(
+    "lang_id_counts",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id,
+               {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+               {_lang_hits_sql("fr")} AS h_fr, {_lang_hits_sql("de")} AS h_de
+        FROM documents
+    ), labeled AS (
+        SELECT CASE
+            WHEN h_en > 0 AND h_en >= greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es > 0 AND h_es >= greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            WHEN h_de > 0 AND h_de >= greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+            ELSE 'und' END AS detected_lang
+        FROM hits
+    )
+    SELECT detected_lang, count(*) AS n_docs FROM labeled GROUP BY detected_lang
+    """,
+)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "quality_filter",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS pr,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS dr,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|is|that)\b')) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           round((CASE WHEN nt BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN dr < 0.3 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN sw > 0 THEN 1.0 ELSE 0.0 END) / 4.0, 2) AS quality
+    FROM f
+    WHERE (CASE WHEN nt BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN dr < 0.3 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN sw > 0 THEN 1.0 ELSE 0.0 END) / 4.0 >= 0.75
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    return (
+        d.select("doc_id", F.round(score, 2).alias("quality"))
+        .filter(F.col("quality") >= 0.75)
+    )
+
+
+# Exact dedup summary (J2 — UNIQUE-key semantics; fingerprint is md5 of the
+# whitespace/case-normalized text so the oracle can recompute it; the
+# crawl engine itself uses xxhash64, see functions/text.py:doc_fingerprint).
+@query(
+    "exact_dedup_stats",
+    oracle=r"""
+    WITH fp AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 50) AS p
+        FROM documents
+    )
+    SELECT count(*) AS n_total,
+           count(DISTINCT f) AS n_unique,
+           (SELECT count(*) FROM (
+               SELECT p FROM fp GROUP BY p HAVING count(*) > 1
+           )) AS n_prefix_dup_groups
+    FROM fp
+    """,
+)
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = d.select(
+        F.md5(norm).alias("f"), F.substring(norm, 1, 50).alias("p")
+    )
+    prefix_dups = (
+        fp.groupBy("p").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("f").alias("n_unique"),
+    ).crossJoin(
+        prefix_dups.agg(F.count(F.lit(1)).alias("n_prefix_dup_groups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (training-data dedup). Blocking by shared
+# shingle → the pair space is only docs that share ≥1 shingle, which is the
+# same shuffle shape MinHash-LSH uses; exact Jaccard computed on the
+# candidate pairs. At 100 TB the shingle join is the scalable path (no
+# cartesian anywhere).
+# ---------------------------------------------------------------------------
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# 3-word shingles, DuckDB form (matches functions/text.py:word_shingles k=3)
+_SHINGLES_SQL = f"""
+        CASE WHEN len(regexp_split_to_array({_NORM_SQL}, ' ')) < 3
+             THEN [{_NORM_SQL}]
+             ELSE list_transform(
+                 range(1, len(regexp_split_to_array({_NORM_SQL}, ' ')) - 1),
+                 i -> array_to_string(
+                     list_slice(regexp_split_to_array({_NORM_SQL}, ' '), i, i + 2), ' '))
+        END
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 5) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs. The hash is md5-derived (first
+# 15 hex chars → 60-bit int) so the oracle can recompute it bit-for-bit;
+# at production scale swap PORTABLE_HASH for xxhash64(concat(...)) —
+# identical plan shape, ~3x faster. 8 permutations, 4 bands of 2 rows.
+# ---------------------------------------------------------------------------
+N_PERMS = 8
+BAND_ROWS = 2
+
+
+def _portable_hash_spark(s):
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, perm,
+           list_min(list_transform({_SHINGLES_SQL},
+               s -> CAST(('0x' || substr(md5(perm || ':' || s), 1, 15)) AS BIGINT)
+           )) AS minhash
+    FROM documents, unnest(range(0, {N_PERMS})) AS t(perm)
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingles = T.word_shingles(F.col("text"), 3)
+    return (
+        d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm"), shingles.alias("sh"))
+        .select(
+            "doc_id",
+            F.col("perm").cast("long").alias("perm"),
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: _portable_hash_spark(
+                        F.concat(F.col("perm").cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ).alias("minhash"),
+        )
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, perm,
+               list_min(list_transform({_SHINGLES_SQL},
+                   s -> CAST(('0x' || substr(md5(perm || ':' || s), 1, 15)) AS BIGINT)
+               )) AS minhash
+        FROM documents, unnest(range(0, {N_PERMS})) AS t(perm)
+    ), bands AS (
+        SELECT doc_id, perm // {BAND_ROWS} AS band_id,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_sig
+        FROM sig GROUP BY doc_id, perm // {BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band_id", (F.col("perm") / BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity family (ANN over array<float>): brute-force cosine
+# top-k (the exact baseline) + near-dup pairs. Dot products stay JVM-side
+# via higher-order functions (functions/vectors.py) — no Arrow transfer.
+# The LSH-bucketed scale path lives in operators/similarity.py.
+# ---------------------------------------------------------------------------
+_COS_SQL = """
+    list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(a[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(b) + 1), i -> CAST(b[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))))
+"""
+
+
+def _dcast(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query(
+    "embedding_knn",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, round({_COS_SQL.replace("a[", "embedding[").replace("len(a)", "len(embedding)").replace("b[", "qe[").replace("len(b)", "len(qe)")}, 5) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = V.cosine(_dcast(F.col("embedding")), _dcast(F.col("qe")))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "label", F.round(cos, 5).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_dup_pairs",
+    oracle=f"""
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round({_COS_SQL.replace("a[", "x.embedding[").replace("len(a)", "len(x.embedding)").replace("b[", "y.embedding[").replace("len(b)", "len(y.embedding)")}, 5) AS cos_sim
+    FROM embeddings x JOIN embeddings y
+      ON x.label = y.label AND x.vec_id < y.vec_id
+    WHERE {_COS_SQL.replace("a[", "x.embedding[").replace("len(a)", "len(x.embedding)").replace("b[", "y.embedding[").replace("len(b)", "len(y.embedding)")} >= 0.3
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.alias("x")
+    y = e.alias("y")
+    cos = V.cosine(_dcast(F.col("x.embedding")), _dcast(F.col("y.embedding")))
+    return (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+    )
+

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs a single-process Twisted reactor with 16 concurrent
+requests (reference: settings.py:70-71); the engine's unit of concurrency is
+the Spark executor. These configs are the ones that matter at 100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting, broadcast
+  demotion/promotion) — replaces every hand-tuned knob the reference has.
+- Arrow on — every Python-side transform is a vectorized pandas UDF; Arrow
+  batch size capped so binary image columns cannot blow executor memory
+  (SURVEY.md §7 risk 5).
+- shuffle partitions sized for the sandbox; on a real cluster this is set to
+  ~2-3x total cores and AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# On a 1000-executor cluster these would be per-job spark-submit confs; the
+# values here are the local[*] sandbox equivalents of the same ratios.
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # binary image rows are ~KBs each; cap Arrow batches so a batch stays
+    # well under executor memory even at 64x64 RGB
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def get_spark(
+    app_name: str = "whakoom_webscrapper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
+    ``local[*]``. ``shuffle_partitions`` defaults to the core count so one
+    shuffle wave fills the machine without tiny-partition overhead.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif cpus:
+        confs["spark.sql.shuffle.partitions"] = str(max(int(cpus), 8))
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
