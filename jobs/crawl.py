@@ -1,0 +1,89 @@
+"""Crawl job entry point — the ``scrapy crawl lists`` analog.
+
+Run locally or via spark-submit (the engine package ships with
+``--py-files whakoom_webscrapper_spark.zip``; see BENCH/BASELINE.md):
+
+    python jobs/crawl.py --n-urls 100000 --hosts 1000 --out /tmp/run1
+    spark-submit --master ... --py-files engine.zip jobs/crawl.py ...
+
+Generates the deterministic synthetic world if missing, runs the
+frontier crawl to exhaustion, prints one JSON line of results
+(URLs fetched+deduped/sec is the BASELINE.json:2 metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from whakoom_webscrapper_spark import datagen
+from whakoom_webscrapper_spark.plans import frontier as FP
+from whakoom_webscrapper_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-urls", type=int, default=10_000)
+    ap.add_argument("--hosts", type=int, default=100)
+    ap.add_argument("--fanout", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=16)
+    ap.add_argument("--out", required=True, help="state+world directory")
+    ap.add_argument("--max-epochs", type=int, default=100)
+    ap.add_argument("--master", default=None, help="e.g. local[8]")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip decode/phash checks (bench the frontier only)")
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-images", action="store_true",
+                    help="world without binary payloads (frontier-only bench)")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "crawl", master=args.master, shuffle_partitions=args.partitions
+    )
+    world = os.path.join(args.out, "world")
+    if not os.path.exists(os.path.join(world, "linkgraph")):
+        t0 = time.perf_counter()
+        datagen.write_world(
+            spark, world, args.n_urls, args.hosts,
+            fanout=args.fanout, n_seeds=args.seeds,
+            partitions=args.partitions, with_images=not args.no_images,
+        )
+        print(f"world generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    cfg = FP.CrawlConfig(
+        state_dir=os.path.join(args.out, "state"),
+        world_dir=world,
+        max_epochs=args.max_epochs,
+        frontier_partitions=args.partitions,
+        validate=not (args.no_validate or args.no_images),
+        use_bloom=not args.no_bloom,
+    )
+    t0 = time.perf_counter()
+    result = FP.crawl(spark, cfg, resume=args.resume)
+    wall = time.perf_counter() - t0
+
+    total_resolved = sum(s["resolved"] for s in cfg.stats)
+    print(
+        json.dumps(
+            {
+                "epochs": result["epochs_run"],
+                "fetched": result["total_fetched"],
+                "resolved": total_resolved,
+                "wall_s": round(wall, 2),
+                "urls_per_sec": round(result["total_fetched"] / wall, 1),
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

