@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="e.g. local[8]")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--budget-scale", type=int, default=1,
+                    help="politeness budget multiplier (fixed per experiment)")
+    ap.add_argument("--lean", action="store_true",
+                    help="skip non-essential per-epoch stat counts")
     ap.add_argument("--no-validate", action="store_true",
                     help="skip decode/phash checks (bench the frontier only)")
     ap.add_argument("--no-bloom", action="store_true")
@@ -54,6 +58,7 @@ def main() -> None:
             spark, world, args.n_urls, args.hosts,
             fanout=args.fanout, n_seeds=args.seeds,
             partitions=args.partitions, with_images=not args.no_images,
+            budget_scale=args.budget_scale,
         )
         print(f"world generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
@@ -64,12 +69,15 @@ def main() -> None:
         frontier_partitions=args.partitions,
         validate=not (args.no_validate or args.no_images),
         use_bloom=not args.no_bloom,
+        collect_stats=not args.lean,
     )
     t0 = time.perf_counter()
     result = FP.crawl(spark, cfg, resume=args.resume)
     wall = time.perf_counter() - t0
 
-    total_resolved = sum(s["resolved"] for s in cfg.stats)
+    total_resolved = (
+        sum(s["resolved"] for s in cfg.stats) if not args.lean else None
+    )
     print(
         json.dumps(
             {

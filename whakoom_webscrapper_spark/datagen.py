@@ -193,15 +193,16 @@ def gen_seeds(spark: SparkSession, n_seeds: int, n_urls: int, n_hosts: int) -> D
     )
 
 
-def gen_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
+def gen_robots(spark: SparkSession, n_hosts: int, budget_scale: int = 1) -> DataFrame:
     """Per-host politeness budget + disallow rules — analog of
     ROBOTSTXT_OBEY + AutoThrottle (reference: settings.py:68,119-126).
     Every 7th host disallows /page/ ids ending in 9; budgets vary 4-16
-    URLs per epoch by host id."""
+    URLs per epoch by host id (scaled by ``budget_scale`` — the bench's
+    politeness-budget knob, held fixed across parallelism levels)."""
     rows = []
     for hid in range(n_hosts):
         host = f"host{hid}.test"
-        budget = 4 + (hid % 13)
+        budget = (4 + (hid % 13)) * budget_scale
         disallow = ["/page/9", "/admin"] if hid % 7 == 3 else ["/admin"]
         rows.append((host, budget, disallow))
     return spark.createDataFrame(
@@ -225,6 +226,7 @@ def write_world(
     n_seeds: int = 8,
     partitions: int = 32,
     with_images: bool = True,
+    budget_scale: int = 1,
 ) -> None:
     """Materialize the synthetic world as parquet under ``out_dir``."""
     gen_linkgraph(spark, n_urls, n_hosts, fanout, partitions).write.mode(
@@ -237,4 +239,6 @@ def write_world(
     gen_seeds(spark, n_seeds, n_urls, n_hosts).write.mode("overwrite").parquet(
         f"{out_dir}/seeds"
     )
-    gen_robots(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/robots")
+    gen_robots(spark, n_hosts, budget_scale).write.mode("overwrite").parquet(
+        f"{out_dir}/robots"
+    )

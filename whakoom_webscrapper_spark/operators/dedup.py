@@ -1,0 +1,203 @@
+"""Dedup operator library — the dedup family as composable DataFrame ops.
+
+The reference's dedup surface is a per-run Python set + DB UNIQUE keys
+(reference: pipelines.py:32-34, 001_initial_schema.sql:4,19) — exact,
+single-machine. A training-data pipeline at 100 TB needs the full
+ladder, each one here a pure DataFrame transform:
+
+  exact_dedup        hash-groupBy, deterministic keeper     (exact)
+  window_dedup       row_number()=1 per key                 (exact, keeps row)
+  minhash signatures + LSH band join                        (near-dup, Jaccard)
+  simhash            32-bit sign-of-sums + banded hamming   (near-dup, cosine-ish)
+  ngram Jaccard      shingle blocking + exact Jaccard       (near-dup, exact sim)
+  embedding cosine   see operators/similarity.py            (semantic)
+
+All hashing is portable md5-arithmetic when an oracle needs to reproduce
+it (queries.py) and xxhash64 otherwise (3-5x faster, same plan shape) —
+controlled by ``portable_hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from whakoom_webscrapper_spark.functions import text as T
+
+SIMHASH_BITS = 32
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit hash reproducible in DuckDB (md5-hex arithmetic)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def fast_hash(col: Column) -> Column:
+    """Production hash: xxhash64 (JVM intrinsic, not oracle-reproducible)."""
+    return F.xxhash64(col)
+
+
+def window_dedup(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Keep exactly one row per key, deterministically (J1/J2 —
+    the MERGE-on-read fallback for UNIQUE constraints)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup by normalized-text hash; keeps min id."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("_fp", fast_hash(norm))
+        .transform(lambda d: window_dedup(d, ["_fp"], [F.asc(id_col)]))
+        .drop("_fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, perm, minhash) rows — flat plan: explode distinct shingles,
+    cross with perm ids, min-aggregate. See queries.py:minhash_signatures
+    for the oracle-pinned variant."""
+    h = portable_hash if portable else fast_hash
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
+        ).alias("_sh"),
+    )
+    exploded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("_p"),
+        "_sh",
+    ).select(id_col, F.col("_p").cast("long").alias("perm"), "_sh")
+    return exploded.groupBy(id_col, "perm").agg(
+        F.min(
+            h(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("_sh")))
+        ).alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", band_rows: int = 2
+) -> DataFrame:
+    """Band the signature rows, join docs sharing any identical band."""
+    bands = (
+        signatures.withColumn("band_id", (F.col("perm") / band_rows).cast("long"))
+        .groupBy(id_col, "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """32-bit SimHash per document: per word-occurrence hash, each bit
+    votes ±1, sign of the vote sum sets the bit. Flat plan: explode words,
+    one hash-aggregate with 32 conditional sums (no bit-row explosion).
+    """
+    h32 = portable_hash32 if portable else (lambda c: F.abs(F.xxhash64(c)) % (1 << 32))
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = df.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("_w")
+    ).withColumn("_h", h32(F.col("_w")))
+    votes = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"_b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by banded hamming: split the 32-bit hash into
+    ``n_bands`` bytes; any pair within ``max_hamming <= n_bands - 1`` bit
+    flips shares at least one identical band (pigeonhole), so the band
+    equi-join finds all of them without a cartesian product; exact
+    hamming (bit_count of xor) then filters."""
+    width = SIMHASH_BITS // n_bands
+    banded = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -99,6 +99,7 @@ class CrawlConfig:
     frontier_partitions: int = 32
     validate: bool = True  # decode/phash/caption checks on every fetched row
     default_budget: int = politeness.DEFAULT_BUDGET
+    collect_stats: bool = True  # False → skip non-essential per-epoch counts
     stats: list = field(default_factory=list)
 
 
@@ -208,7 +209,7 @@ def run_epoch(
         eligible, robots, cfg.n_salts, cfg.default_budget
     )
     admitted = admitted.persist()
-    n_admitted = admitted.count()
+    n_admitted = admitted.count() if cfg.collect_stats else -1
 
     # ---- fetch: lookup into the synthetic world (S2) ----
     lg = linkgraph.withColumnRenamed("priority", "_lg_priority")
@@ -271,7 +272,7 @@ def run_epoch(
     if seen_prev is not None:
         resolved = resolved.join(seen_prev, "url_hash", "left_anti")
     resolved = resolved.dropDuplicates(["url_hash"]).persist()
-    n_resolved = resolved.count()
+    n_resolved = resolved.count() if cfg.collect_stats else -1
 
     # ---- next frontier: carry ∪ deferred ∪ retries ∪ discovered ----
     retry_rows = retryable.select(
@@ -295,7 +296,7 @@ def run_epoch(
     )
     nxt_deduped = dedup_frontier(nxt).persist()
     nxt = nxt_deduped
-    n_before_seen_filter = nxt.count()
+    n_before_seen_filter = nxt.count() if cfg.collect_stats else -1
 
     # Bloom prefilter (J1) then exact anti-join (J6) against seen ∪ resolved
     seen_all = (
@@ -329,7 +330,10 @@ def run_epoch(
     lineage = (
         pages.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("rows_fetched"))
-        .withColumn("rows_deduped", F.lit(n_before_seen_filter - n_next))
+        .withColumn(
+            "rows_deduped",
+            F.lit((n_before_seen_filter - n_next) if cfg.collect_stats else -1),
+        )
         .withColumn("status", F.lit("committed"))
         .withColumn(
             "duration_ms", F.lit(int((time.perf_counter() - t0) * 1000))

@@ -727,22 +727,27 @@ def _portable_hash_spark(s):
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flat plan: explode distinct shingles once, cross with the perm ids,
+    # hash in whole-stage codegen, then one hash-aggregate min per
+    # (doc, perm). Avoids duplicating the shingle array N_PERMS times —
+    # the shape that scales (and ~5x faster than the nested-lambda form).
+    # min over distinct shingles == min over all shingles.
     d = load_table(spark, sf_dir, "documents")
-    shingles = T.word_shingles(F.col("text"), 3)
-    return (
-        d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm"), shingles.alias("sh"))
-        .select(
-            "doc_id",
-            F.col("perm").cast("long").alias("perm"),
-            F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: _portable_hash_spark(
-                        F.concat(F.col("perm").cast("string"), F.lit(":"), s)
-                    ),
-                )
-            ).alias("minhash"),
-        )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    exploded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm_i"),
+        "sh",
+    ).select("doc_id", F.col("perm_i").cast("long").alias("perm"), "sh")
+    return exploded.groupBy("doc_id", "perm").agg(
+        F.min(
+            _portable_hash_spark(
+                F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh"))
+            )
+        ).alias("minhash")
     )
 
 
@@ -798,6 +803,67 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash family (near-dup by sign-of-votes hash; operators/dedup.py).
+# 32-bit portable variant so the oracle reproduces every bit.
+# ---------------------------------------------------------------------------
+def _simhash_oracle_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return rf"""
+    WITH words AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS wh
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        )
+    ), votes AS (
+        SELECT doc_id, {votes}
+        FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash FROM votes
+    """
+
+
+@query("simhash_signatures", oracle=_simhash_oracle_sql())
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whakoom_webscrapper_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, portable=True)
+
+
+@query(
+    "simhash_dup_pairs",
+    oracle=f"""
+    WITH sims AS ({_simhash_oracle_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS val
+        FROM sims, unnest([0, 1, 2, 3]) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whakoom_webscrapper_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_dup_pairs(D.simhash(d, portable=True))
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity family (ANN over array<float>): brute-force cosine
 # top-k (the exact baseline) + near-dup pairs. Dot products stay JVM-side
 # via higher-order functions (functions/vectors.py) — no Arrow transfer.
@@ -838,6 +904,24 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_knn_lsh")  # no oracle: LSH candidate set is approximate
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: same query as embedding_knn but via random-
+    hyperplane LSH buckets (operators/similarity.py) — recall checked
+    against the exact result in tests/test_similarity.py."""
+    from whakoom_webscrapper_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    # near-random embeddings are the worst case for hyperplane LSH; wide
+    # buckets (2^6) x 12 tables probe ~20% of the corpus for recall ~0.6
+    # while the plan shape (bucket equi-join) stays the 100 TB scale path
+    return S.lsh_topk(corpus, q, k=10, dim=64, n_bits=6, n_tables=12)
+
+
 @query(
     "embedding_dup_pairs",
     oracle=f"""
@@ -849,21 +933,28 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are precomputed per row (O(n·d)) before the pair join, and the
+    # cosine is materialized once via withColumn so filter + projection
+    # share it (the naive form evaluates the O(d) lambda twice per pair).
     e = load_table(spark, sf_dir, "embeddings")
-    x = e.alias("x")
-    y = e.alias("y")
-    cos = V.cosine(_dcast(F.col("x.embedding")), _dcast(F.col("y.embedding")))
+    with_norm = e.select(
+        "vec_id", "label", _dcast(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", V.norm(F.col("emb")))
+    x = with_norm.alias("x")
+    y = with_norm.alias("y")
+    dot = V.dot(F.col("x.emb"), F.col("y.emb"))
     return (
         x.join(
             y,
             (F.col("x.label") == F.col("y.label"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .filter(cos >= 0.3)
+        .withColumn("cos_raw", dot / (F.col("x.nrm") * F.col("y.nrm")))
+        .filter(F.col("cos_raw") >= 0.3)
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            F.round(cos, 5).alias("cos_sim"),
+            F.round(F.col("cos_raw"), 5).alias("cos_sim"),
         )
     )
 
