@@ -1,0 +1,51 @@
+"""Upsert / MERGE-emulation tests (K1/K2/K4/K5 in SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from whakoom_webscrapper_spark.operators import upsert as UP
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v", "status"])
+
+
+def test_merge_upsert_updates_win(spark):
+    target = _df(spark, [(1, "a", "pending"), (2, "b", "pending")])
+    updates = _df(spark, [(2, "B", "completed"), (3, "c", "pending")])
+    out = {(r["k"], r["v"], r["status"]) for r in UP.merge_upsert(
+        target, updates, ["k"]).collect()}
+    assert out == {(1, "a", "pending"), (2, "B", "completed"), (3, "c", "pending")}
+
+
+def test_upsert_parquet_durable_and_idempotent(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="upsert_"), "t")
+    UP.upsert_parquet(spark, path, _df(spark, [(1, "a", "s")]), ["k"])
+    UP.upsert_parquet(spark, path, _df(spark, [(1, "A", "s2"), (2, "b", "s")]), ["k"])
+    # re-apply the same updates: no change (idempotent writes, J2)
+    UP.upsert_parquet(spark, path, _df(spark, [(1, "A", "s2")]), ["k"])
+    out = {(r["k"], r["v"], r["status"]) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "A", "s2"), (2, "b", "s")}
+
+
+def test_status_rollup_update(spark):
+    target = _df(spark, [(1, "a", "pending"), (2, "b", "pending"), (3, "c", "failed")])
+    done = spark.createDataFrame([(1,), (3,)], ["k"])
+    out = {(r["k"], r["status"]) for r in UP.status_rollup_update(
+        target, done, "k").collect()}
+    assert out == {(1, "completed"), (2, "pending"), (3, "completed")}
+
+
+def test_feed_export_json_roundtrip(spark):
+    """K5 — `scrapy crawl -o lists.json` analog (settings.py:141)."""
+    d = os.path.join(tempfile.mkdtemp(prefix="feed_"), "out")
+    df = _df(spark, [(1, "a", "s"), (2, "b", "t")])
+    df.write.json(d)
+    back = spark.read.json(d)
+    assert {(r["k"], r["v"], r["status"]) for r in back.collect()} == {
+        (1, "a", "s"), (2, "b", "t")
+    }

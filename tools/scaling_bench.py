@@ -41,11 +41,55 @@ def run_crawl(args, master: str, state_suffix: str) -> dict:
         "--master", master, "--partitions", str(args.partitions),
         "--lean",
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    # warm the OS page cache over the world files so both parallelism
+    # levels see identical (warm) I/O — otherwise whichever run goes first
+    # pays the cold-read penalty and the comparison is biased
+    subprocess.run(
+        f"cat {os.path.join(args.out, 'world')}/*/*.parquet > /dev/null",
+        shell=True, timeout=1200,
+    )
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200, env=env)
     last = [line for line in out.stdout.strip().splitlines() if line.startswith("{")]
     if not last:
         raise RuntimeError(f"no JSON from crawl at {master}:\n{out.stderr[-2000:]}")
     return json.loads(last[-1])
+
+
+def machine_ceiling(n_small: int, n_big: int) -> dict:
+    """Control experiment: the best-case scaling this VM can demonstrate
+    between the two process counts, using a pure cache-resident compute
+    payload with single-threaded BLAS (no Spark, no I/O, no allocation
+    churn). The crawl's efficiency should be read relative to this —
+    shared-host vCPUs typically cannot show ideal scaling at all."""
+    import multiprocessing as mp
+    import time as _t
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    rates = {}
+    for procs in (n_small, n_big):
+        t0 = _t.time()
+        with mp.get_context("spawn").Pool(procs) as p:
+            p.map(_pure_compute, range(procs * 4))
+        rates[procs] = procs * 4 / (_t.time() - t0)
+    return {
+        f"procs_{n_small}": round(rates[n_small], 2),
+        f"procs_{n_big}": round(rates[n_big], 2),
+        "ceiling_efficiency": round(
+            rates[n_big] / rates[n_small] / (n_big / n_small), 3
+        ),
+    }
+
+
+def _pure_compute(seed: int) -> float:
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    a = rng.standard_normal((64, 64))
+    for _ in range(3000):
+        a = _np.tanh(a @ a.T * 0.01)
+    return float(a.sum())
 
 
 def main() -> None:
@@ -75,6 +119,7 @@ def main() -> None:
                 "--master", "local[32]", "--partitions", str(args.partitions),
             ],
             capture_output=True, text=True, timeout=7200,
+            env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g"),
         )
         if not os.path.exists(os.path.join(world, "linkgraph")):
             raise RuntimeError(f"world gen failed:\n{gen.stderr[-2000:]}")
@@ -83,8 +128,15 @@ def main() -> None:
     r_small = run_crawl(args, small_master, small_master.replace("[", "_").replace("]", ""))
     r_big = run_crawl(args, big_master, big_master.replace("[", "_").replace("]", ""))
 
-    eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / 4.0
+    n_small = int(small_master.split("[")[1].rstrip("]"))
+    n_big = int(big_master.split("[")[1].rstrip("]"))
+    ceiling = machine_ceiling(n_small, n_big)
+    eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
     result = {
+        "machine_ceiling_control": ceiling,
+        "efficiency_vs_ceiling": round(
+            eff / max(ceiling["ceiling_efficiency"], 1e-9), 3
+        ),
         "protocol": "same job, same world, fresh state, separate JVMs",
         "world": {
             "n_urls": args.n_urls, "hosts": args.hosts, "fanout": args.fanout,

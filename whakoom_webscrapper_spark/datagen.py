@@ -68,7 +68,10 @@ def fmt_of(i: int) -> str:
 
 
 def dims_of(i: int) -> tuple[int, int]:
-    return 16 + (i % 4) * 16, 16 + ((i // 4) % 4) * 16
+    """Image dimensions 32-160 px per side — sized like real crawl
+    thumbnails/covers so decode cost in the bench reflects production
+    payloads rather than toy 16 px tiles."""
+    return 32 + (i % 5) * 32, 32 + ((i // 5) % 5) * 32
 
 
 def caption_of(i: int) -> str:
@@ -81,9 +84,11 @@ def caption_of(i: int) -> str:
 def pixels_of(i: int) -> np.ndarray:
     w, h = dims_of(i)
     rng = np.random.default_rng(GLOBAL_SEED * 1_000_003 + i)
-    # structured content (gradient + seeded noise) so pHash is non-degenerate
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    # structured content (gradient + seeded noise) so pHash is non-degenerate;
+    # broadcasting arange instead of mgrid — same values, half the allocations
+    gx = (np.arange(w, dtype=np.int64) * 255) // max(w - 1, 1)
+    gy = (np.arange(h, dtype=np.int64) * 128) // max(h - 1, 1)
+    base = (gx[None, :] + gy[:, None]) % 256
     noise = rng.integers(0, 64, size=(h, w, 3))
     px = (base[:, :, None] + noise) % 256
     return px.astype(np.uint8)

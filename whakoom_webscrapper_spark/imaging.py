@@ -72,6 +72,8 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG row filters 0-4. Row-sequential by necessity (spec), but
     vectorized within each row where the filter allows."""
     rows = raw.reshape(h, 1 + stride)
+    if not rows[:, 0].any():  # all filter 0 (our encoder) → single slice
+        return rows[:, 1:].copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = rows[y, 0]
@@ -180,21 +182,25 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 # pHash + PSNR
 # ---------------------------------------------------------------------------
 def _area_resize_32(gray: np.ndarray) -> np.ndarray:
-    """Area-average resize to 32x32 (nearest-block; deterministic)."""
+    """Area-average resize to 32x32 (nearest-block; deterministic).
+    Fully vectorized: block sums gathered from the 2-D prefix sum with
+    outer fancy-indexing — no per-block Python loop (the loop form cost
+    ~2 ms/image and dominated validation CPU)."""
     h, w = gray.shape
     ys = (np.arange(33) * h // 32).clip(0, h)
     xs = (np.arange(33) * w // 32).clip(0, w)
-    out = np.zeros((32, 32), dtype=np.float64)
-    # cumulative-sum trick: block means from the 2-D prefix sum
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
     ps = np.zeros((h + 1, w + 1), dtype=np.float64)
     ps[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
-    for i in range(32):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(32):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            s = ps[y1, x1] - ps[y0, x1] - ps[y1, x0] + ps[y0, x0]
-            out[i, j] = s / ((y1 - y0) * (x1 - x0))
-    return out
+    s = (
+        ps[np.ix_(y1, x1)]
+        - ps[np.ix_(y0, x1)]
+        - ps[np.ix_(y1, x0)]
+        + ps[np.ix_(y0, x0)]
+    )
+    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    return s / area
 
 
 _DCT32 = None
@@ -222,10 +228,55 @@ def phash64(pixels: np.ndarray) -> int:
     med = np.median(block[1:])  # skip DC term for the threshold
     bits = (block > med).astype(np.uint64)
     bits[0] = 0  # DC bit fixed → hash depends on structure, not brightness
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    val = np.bitwise_or.reduce(bits * weights)
     return int(val.astype(np.int64))  # reinterpret as signed for int64 col
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: deterministic random-features image embedding.
+# The multimodal pipeline's feature-extract stage: 8x8 grayscale patches →
+# fixed seeded projection → tanh → second mixing layer → mean-pool →
+# L2-normalized 64-d vector ("random kitchen sinks" style feature map —
+# a fixed-weight stand-in for a learned encoder; the container has no
+# torch/PIL, and the Spark-side plumbing — schema, batching, UDF shape —
+# is identical to what a real CLIP-style encoder would use).
+# ---------------------------------------------------------------------------
+_FEAT_SEED = 1234
+_FEAT_W1 = None
+_FEAT_W2 = None
+
+
+def _feat_weights() -> tuple[np.ndarray, np.ndarray]:
+    global _FEAT_W1, _FEAT_W2
+    if _FEAT_W1 is None:
+        rng = np.random.default_rng(_FEAT_SEED)
+        _FEAT_W1 = rng.standard_normal((64, 64)).astype(np.float64) / 8.0
+        _FEAT_W2 = rng.standard_normal((64, 64)).astype(np.float64) / 8.0
+    return _FEAT_W1, _FEAT_W2
+
+
+def features64(pixels: np.ndarray, mix_iters: int = 6) -> np.ndarray:
+    """64-d image embedding from 8x8 patches (stride 4) through a fixed
+    random projection + ``mix_iters`` tanh mixing layers. ``mix_iters``
+    tunes compute per image; deterministic for given pixels."""
+    w1, w2 = _feat_weights()
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = (gray - 128.0) / 128.0
+    h, w = gray.shape
+    ph = max((h - 8) // 4 + 1, 1)
+    pw = max((w - 8) // 4 + 1, 1)
+    # gather 8x8 patches at stride 4 via strided view → (n_patches, 64)
+    s0, s1 = gray.strides
+    patches = np.lib.stride_tricks.as_strided(
+        gray, shape=(ph, pw, 8, 8), strides=(4 * s0, 4 * s1, s0, s1)
+    ).reshape(ph * pw, 64)
+    f = np.tanh(patches @ w1)
+    for _ in range(mix_iters):
+        f = np.tanh(f @ w2 + f)
+    v = f.mean(axis=0)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

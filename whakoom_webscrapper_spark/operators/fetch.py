@@ -34,6 +34,7 @@ from whakoom_webscrapper_spark import datagen, imaging
 PSNR_LOSSY_MIN_DB = 40.0
 
 PHASH_LOSSY_MAX_HAMMING = 8
+FEATURE_MIX_ITERS = 6
 
 VALIDATION_COLUMNS = [
     T.StructField("phash_recomputed", T.LongType(), True),
@@ -42,6 +43,7 @@ VALIDATION_COLUMNS = [
     T.StructField("psnr_db", T.DoubleType(), True),
     T.StructField("pixel_ok", T.BooleanType(), True),
     T.StructField("caption_match", T.BooleanType(), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType(), True), True),
     T.StructField("decode_ms", T.DoubleType(), True),
 ]
 
@@ -61,9 +63,11 @@ def fail_attempts_expr(id_col):
     )
 
 
-def validate_images(fetched: DataFrame) -> DataFrame:
+def validate_images(fetched: DataFrame, featurize: bool = True) -> DataFrame:
     """Decode each image, recompute pHash, check PSNR vs the regenerated
-    reference pixels and caption equality. Input needs columns
+    reference pixels and caption equality; optionally extract the 64-d
+    image embedding (imaging.features64 — the feature-extract stage of
+    the training-data pipeline). Input needs columns
     (page_id, bytes, fmt, phash, caption); output appends
     VALIDATION_COLUMNS. One Arrow batch in, one out."""
     out_schema = T.StructType(fetched.schema.fields + VALIDATION_COLUMNS)
@@ -72,6 +76,7 @@ def validate_images(fetched: DataFrame) -> DataFrame:
         for pdf in batches:
             t0 = time.perf_counter()
             rec, hams, match, psnrs, pix_ok, cap_ok = [], [], [], [], [], []
+            embs = []
             for pid, data, fmt, stored_ph, caption in zip(
                 pdf["page_id"], pdf["bytes"], pdf["fmt"], pdf["phash"], pdf["caption"]
             ):
@@ -95,6 +100,11 @@ def validate_images(fetched: DataFrame) -> DataFrame:
                         else p >= PSNR_LOSSY_MIN_DB
                     )
                     cap_ok.append(caption == datagen.caption_of(int(pid)))
+                    embs.append(
+                        imaging.features64(px, FEATURE_MIX_ITERS)
+                        if featurize
+                        else None
+                    )
                 except Exception:
                     rec.append(None)
                     hams.append(None)
@@ -102,6 +112,7 @@ def validate_images(fetched: DataFrame) -> DataFrame:
                     psnrs.append(0.0)
                     pix_ok.append(False)
                     cap_ok.append(False)
+                    embs.append(None)
             ms = (time.perf_counter() - t0) * 1000.0 / max(len(pdf), 1)
             out = pdf.copy()
             out["phash_recomputed"] = pd.array(rec, dtype="Int64")
@@ -110,6 +121,7 @@ def validate_images(fetched: DataFrame) -> DataFrame:
             out["psnr_db"] = psnrs
             out["pixel_ok"] = pix_ok
             out["caption_match"] = cap_ok
+            out["embedding"] = embs
             out["decode_ms"] = ms
             yield out
 

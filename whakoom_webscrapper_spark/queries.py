@@ -428,6 +428,62 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Named-query catalog (S5 — sqlmanager.py:36-67 parses `# NAME` SQL blocks;
+# here the names live in catalog.NAMED_QUERIES and execute via spark.sql
+# over registered views — the same lookup-by-name lifecycle).
+# ---------------------------------------------------------------------------
+@query(
+    "named_recent_events",
+    oracle="""
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, user_id,
+           event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def named_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whakoom_webscrapper_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return catalog.run_named_query(spark, "GET_RECENT_EVENTS").select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert / MERGE emulation (K1/K2 — queries/lists.sql:1-9,37-40). The
+# "updates" here are synthesized from the orders table itself (top half of
+# keys get a new status), so the oracle can state MERGE semantics as a
+# CASE join.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN 'UPDATED' ELSE o.o_orderstatus
+           END AS o_orderstatus,
+           round(CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_totalprice + 1.0
+                      ELSE o.o_totalprice END, 2) AS total_price
+    FROM orders o
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whakoom_webscrapper_spark.operators import upsert as UP
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total_price")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("UPDATED"))
+        .withColumn("total_price", F.round(F.col("total_price") + 1.0, 2))
+    )
+    return UP.merge_upsert(o, updates, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (U1/U2/J3 — Scrapy fingerprinter settings.py:139,
 # urlparse projection spiders/lists.py:35-36). URLs are constructed
 # deterministically from documents rows in four shape variants; the oracle

@@ -54,6 +54,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # one BLAS thread per python worker: Spark already runs one worker per
+    # core — nested OpenBLAS threading oversubscribes the box (measured:
+    # numpy matmuls in UDFs stop scaling entirely without this)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
     if shuffle_partitions is not None:
