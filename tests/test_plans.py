@@ -1,0 +1,53 @@
+"""Physical-plan quality gates — the plans we WANT, not just plans that
+pass (SURVEY.md §4: pushdown/pruning/broadcast are the 100 TB levers)."""
+
+from __future__ import annotations
+
+from whakoom_webscrapper_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.SPARK_QUERIES[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # only the 7 referenced columns reach the scan, not all 11
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_region_rollup_broadcasts_dimensions(spark):
+    plan = _plan(spark, "region_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pending_filter_pushes_equality(spark):
+    plan = _plan(spark, "pending_filter")
+    assert "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = _plan(spark, "orders_without_items")
+    assert "LeftAnti" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_text_stats(spark):
+    # text analysis must stay JVM-side: no Python/Arrow eval nodes
+    plan = _plan(spark, "text_stats")
+    # '*' prefix marks whole-stage-codegen nodes in formatted explain
+    assert "* Project" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -88,8 +88,10 @@ def url_path_segment(url: Column, index: int = 1) -> Column:
     """N-th path segment — analog of ``urlparse(url).path.split('/')[1]``
     (reference: spiders/lists.py:35-36). index=1 is the first segment."""
     path = F.regexp_extract(url, _URL_RE, 3)
-    # split('/a/b', '/') = ['', 'a', 'b'] so element_at(index+1) is segment N
-    return F.element_at(F.split(path, "/"), index + 1)
+    # split('/a/b', '/') = ['', 'a', 'b'] → 0-based position `index` is the
+    # N-th segment; F.get returns NULL out-of-bounds (ANSI-safe, unlike
+    # element_at which throws under Spark 4's default ANSI mode)
+    return F.get(F.split(path, "/"), index)
 
 
 def host_bucket(host: Column, num_buckets: int = 256) -> Column:

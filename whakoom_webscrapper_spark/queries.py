@@ -531,6 +531,39 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_profile_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'Alpha'
+             WHEN 1 THEN NULL
+             WHEN 2 THEN NULL
+             ELSE 'p'
+           END AS profile
+    FROM documents
+    """,
+)
+def url_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — ``urlparse(url).path.split('/')[1]`` analog
+    (reference: spiders/lists.py:35-36): first path segment as the
+    user-profile key. Empty segments surface as NULL to match SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_URL_BUILD_SQL.strip())
+    seg = U.url_path_segment(raw, 1)
+    return d.select(
+        "doc_id",
+        F.when(seg == "", F.lit(None)).otherwise(seg).alias("profile"),
+    )
+
+
+@query("doc_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit content fingerprint of every document (functions/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fp"))
+
+
 @query("url_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
 def url_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -702,12 +735,19 @@ _SHINGLES_SQL = f"""
 """
 
 
+NGRAM_MAX_DF = 25  # stop-shingle cutoff: shingles in more docs carry no
+# near-dup signal and quadratically blow up the pair join (SCALE.md)
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
         FROM documents
+    ), sh AS (
+        SELECT doc_id, shingle FROM sh0
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= {NGRAM_MAX_DF}
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (
@@ -725,11 +765,19 @@ _SHINGLES_SQL = f"""
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    sh0 = d.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
             "shingle"
         ),
+    )
+    # document-frequency cutoff via window count (one shuffle by shingle,
+    # reused by the pair join below)
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh0.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("_df") <= NGRAM_MAX_DF)
+        .drop("_df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

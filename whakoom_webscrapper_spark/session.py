@@ -53,13 +53,20 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        # respect a master set by spark-submit (--master); only fall back
+        # to local[...] when launched as a plain python process
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]" if cpus else "local[*]"
     # one BLAS thread per python worker: Spark already runs one worker per
     # core — nested OpenBLAS threading oversubscribes the box (measured:
     # numpy matmuls in UDFs stop scaling entirely without this)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
