@@ -423,7 +423,10 @@ def run_epoch(
 # Crawl driver: init / run / resume
 # ---------------------------------------------------------------------------
 def init_state(spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame, robots: DataFrame) -> None:
+    from whakoom_webscrapper_spark import catalog
+
     os.makedirs(cfg.state_dir, exist_ok=True)
+    catalog.write_version(cfg.state_dir)  # K4 — versioned state schema
     frontier0 = make_frontier_rows(
         seeds.select("url"), cfg, discovery_time=0, eligible_epoch=0
     )
@@ -451,6 +454,11 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
 
     start_epoch = 0
     if resume:
+        from whakoom_webscrapper_spark import catalog
+
+        # refuse to resume across an incompatible state-schema version —
+        # the analog of an unapplied migration (sqlmanager.py:236-264)
+        catalog.check_version(cfg.state_dir)
         cleanup_uncommitted(cfg)
         done = committed_epochs(cfg)
         start_epoch = (max(done) + 1) if done else 0

@@ -428,6 +428,34 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The crawl engine itself (flagship capability), exposed to the driver's
+# rows-only check: a deterministic micro-world crawl to exhaustion. Not
+# ANSI-SQL-expressible (iterative dataflow with politeness + retries) —
+# correctness is gated instead by the golden sequential simulator
+# (tests/golden_sim.py) and the resume-equivalence test.
+# ---------------------------------------------------------------------------
+@query("crawl_mini")
+def crawl_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from whakoom_webscrapper_spark import datagen
+    from whakoom_webscrapper_spark.plans import frontier as FP
+
+    base = tempfile.mkdtemp(prefix="crawl_mini_")
+    world = f"{base}/world"
+    datagen.write_world(spark, world, n_urls=200, n_hosts=8, fanout=5,
+                        n_seeds=4, partitions=4, budget_scale=4)
+    cfg = FP.CrawlConfig(state_dir=f"{base}/state", world_dir=world,
+                         max_epochs=6, frontier_partitions=4)
+    FP.crawl(spark, cfg)
+    pages = spark.read.parquet(f"{cfg.state_dir}/pages")
+    return pages.select(
+        "url", "host", "fetch_epoch", "host_rank", "image_id",
+        "phash_match", "pixel_ok", "caption_match",
+    ).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
 # Named-query catalog (S5 — sqlmanager.py:36-67 parses `# NAME` SQL blocks;
 # here the names live in catalog.NAMED_QUERIES and execute via spark.sql
 # over registered views — the same lookup-by-name lifecycle).
