@@ -480,6 +480,46 @@ def named_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "named_pending_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey
+    """,
+)
+def named_pending_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P8 — GET_PENDING_LISTS analog by name (queries/lists.sql:11-22)."""
+    from whakoom_webscrapper_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return catalog.run_named_query(spark, "GET_PENDING_ORDERS").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderstatus",
+    )
+
+
+@query(
+    "named_urgent_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey
+    """,
+)
+def named_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — GET_LISTS_BY_PROFILE analog by name (queries/lists.sql:24-35)."""
+    from whakoom_webscrapper_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return catalog.run_named_query(spark, "GET_ORDERS_BY_PRIORITY").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Upsert / MERGE emulation (K1/K2 — queries/lists.sql:1-9,37-40). The
 # "updates" here are synthesized from the orders table itself (top half of
