@@ -7,9 +7,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 
 Each query is executed twice: a warm-up pass (JVM/code-gen warm, file
 listing cached) and a timed pass; the timed number is what lands in the
-JSON. Results are consumed as counts (``df.count()`` on the final plan)
-so the full pipeline executes without driver-side collect costs skewing
-the measurement.
+JSON. Results are consumed as ``count(xxhash64(*all_columns))`` — a
+one-row aggregate that forces EVERY output column to materialize.
+A plain ``count(*)`` would let Catalyst column-prune the projected
+expressions for select-only queries (url_canonicalize, text_stats),
+timing just the parquet scan; hashing every column closes that hole
+while still avoiding driver-side collect costs.
 
 The crawl-engine scaling bench (local[8] vs local[32], BASELINE.json:14)
 is a separate long-running protocol — see BENCH/BASELINE.md and
@@ -48,6 +51,15 @@ HEADLINE = [
 ]
 
 
+def exhaust(df) -> int:
+    """Force evaluation of every output column (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    return df.agg(F.count(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()[
+        0
+    ][0]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -56,9 +68,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.SPARK_QUERIES[name]
-        fn(spark, sf_dir).count()  # warm-up
+        exhaust(fn(spark, sf_dir))  # warm-up
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        exhaust(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

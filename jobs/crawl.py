@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--master", default=None, help="e.g. local[8]")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow a fresh run to destroy committed crawl state")
     ap.add_argument("--budget-scale", type=int, default=1,
                     help="politeness budget multiplier (fixed per experiment)")
     ap.add_argument("--lean", action="store_true",
@@ -72,7 +74,7 @@ def main() -> None:
         collect_stats=not args.lean,
     )
     t0 = time.perf_counter()
-    result = FP.crawl(spark, cfg, resume=args.resume)
+    result = FP.crawl(spark, cfg, resume=args.resume, overwrite=args.overwrite)
     wall = time.perf_counter() - t0
 
     total_resolved = (

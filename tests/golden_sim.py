@@ -18,13 +18,16 @@ from whakoom_webscrapper_spark import datagen
 MAX_ATTEMPTS = 3
 
 
-def robots_of(n_hosts: int) -> dict[str, tuple[int, list[str]]]:
-    out = {}
-    for hid in range(n_hosts):
-        budget = 4 + (hid % 13)
-        disallow = ["/page/9", "/admin"] if hid % 7 == 3 else ["/admin"]
-        out[f"host{hid}.test"] = (budget, disallow)
-    return out
+def robots_of(n_hosts: int, budget_scale: int = 1) -> dict[str, tuple[int, list[str]]]:
+    """Derived from the same datagen pure functions that gen_robots uses —
+    the sim and the Spark world cannot drift (incl. the budget_scale knob)."""
+    return {
+        f"host{hid}.test": (
+            datagen.budget_of(hid, budget_scale),
+            datagen.disallow_of(hid),
+        )
+        for hid in range(n_hosts)
+    }
 
 
 def _host_of_url(url: str) -> str:
@@ -51,10 +54,11 @@ def simulate(
     seed_urls: list[str],
     max_epochs: int = 50,
     default_budget: int = 8,
+    budget_scale: int = 1,
 ):
     """Returns (seen: dict url->status, fetch_log: list of
     (epoch, host, host_rank, url))."""
-    robots = robots_of(n_hosts)
+    robots = robots_of(n_hosts, budget_scale)
     # frontier: url -> [priority, discovery_time, attempt, eligible_epoch]
     frontier: dict[str, list] = {}
     seen: dict[str, str] = {}

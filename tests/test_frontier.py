@@ -5,6 +5,7 @@ pixel/caption validation per row)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -118,6 +119,57 @@ def test_resume_matches_uninterrupted(spark, world, crawl_result):
         return seen, pages
 
     assert snapshot(d) == snapshot(cfg_full.state_dir)
+
+
+def test_resume_with_disallowed_seed(spark, world):
+    """Regression: init_state writes robots-disallowed seeds to seen/epoch=-1
+    (no commit marker exists for it); cleanup_uncommitted must NOT delete
+    negative epochs on resume, or the resumed crawl loses those URL-seen
+    entries and diverges from an uninterrupted run."""
+    robots = golden_sim.robots_of(N_HOSTS)
+    dis_url = "https://host0.test/admin"  # every host disallows /admin
+    assert golden_sim._disallowed(dis_url, robots)
+    d = tempfile.mkdtemp(prefix="world_dis_")
+    for sub in ("linkgraph", "images", "robots"):
+        os.symlink(f"{world}/{sub}", f"{d}/{sub}")
+    spark.createDataFrame(
+        [(dis_url,), (datagen.url_of(1, N_HOSTS),)], "url string"
+    ).write.mode("overwrite").parquet(f"{d}/seeds")
+
+    full = tempfile.mkdtemp(prefix="state_disfull_")
+    FP.crawl(spark, FP.CrawlConfig(state_dir=full, world_dir=d, max_epochs=6,
+                                   frontier_partitions=8))
+    part = tempfile.mkdtemp(prefix="state_dispart_")
+    FP.crawl(spark, FP.CrawlConfig(state_dir=part, world_dir=d, max_epochs=2,
+                                   frontier_partitions=8))
+    FP.crawl(spark, FP.CrawlConfig(state_dir=part, world_dir=d, max_epochs=6,
+                                   frontier_partitions=8), resume=True)
+
+    def seen(sd):
+        return {
+            (r["url"], r["status"])
+            for r in spark.read.parquet(f"{sd}/seen").collect()
+        }
+
+    assert (dis_url, "disallowed") in seen(part)
+    assert seen(part) == seen(full)
+
+
+def test_fresh_run_refuses_committed_state(spark, world, crawl_result):
+    cfg, _ = crawl_result
+    clobber = FP.CrawlConfig(state_dir=cfg.state_dir, world_dir=world,
+                             max_epochs=1, frontier_partitions=8)
+    with pytest.raises(RuntimeError, match="committed crawl epochs"):
+        FP.crawl(spark, clobber)  # resume=False, overwrite=False → refuse
+
+
+def test_foreign_url_priority_coalesced(spark):
+    cfg = FP.CrawlConfig(state_dir="/tmp/na", world_dir="/tmp/na")
+    rows = FP.make_frontier_rows(
+        spark.createDataFrame([("https://ex.test/not-a-page",)], "url string"),
+        cfg, discovery_time=0, eligible_epoch=0,
+    ).collect()
+    assert rows[0]["priority"] == 9  # lowest priority, never NULL
 
 
 def test_budget_respected_per_host_per_epoch(spark, crawl_result):

@@ -40,6 +40,33 @@ def test_status_rollup_update(spark):
     assert out == {(1, "completed"), (2, "pending"), (3, "completed")}
 
 
+def test_name_routed_write_ops(spark):
+    """S5 write side — the reference reaches INSERT_OR_UPDATE_LIST /
+    UPDATE_LIST_STATUS by catalog name (queries/lists.sql:1-9,37-40 via
+    pipelines.py:140-150); the engine routes the same names to the
+    set-oriented operators."""
+    from whakoom_webscrapper_spark import catalog
+
+    target = spark.createDataFrame(
+        [(1, 10, "O", 5.0, "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, "F", 6.0, "1-URGENT"), (2, 11, "O", 7.0, "3-MEDIUM")],
+        target.columns,
+    )
+    merged = catalog.run_named_op("INSERT_OR_UPDATE_ORDERS", target, updates)
+    out = {(r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
+           for r in merged.collect()}
+    assert out == {(1, "F", 6.0), (2, "O", 7.0)}
+
+    done = spark.createDataFrame([(2,)], ["o_orderkey"])
+    flipped = catalog.run_named_op("UPDATE_ORDER_STATUS", merged, done)
+    out2 = {(r["o_orderkey"], r["o_orderstatus"]) for r in flipped.collect()}
+    assert out2 == {(1, "F"), (2, "completed")}
+
+
 def test_feed_export_json_roundtrip(spark):
     """K5 — `scrapy crawl -o lists.json` analog (settings.py:141)."""
     d = os.path.join(tempfile.mkdtemp(prefix="feed_"), "out")

@@ -77,12 +77,49 @@ NAMED_QUERIES: dict[str, str] = {
         SELECT event_id, ts, user_id, event_type, value
         FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
     """,
+    # GET_LIST_BY_ID (queries/lists.sql:42-52): point lookup by key —
+    # parameterized with a named marker, bound at execution time
+    "GET_ORDER_BY_ID": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey = :key
+    """,
+    # GET_ALL_LISTS (queries/lists.sql:54-64): full ordered scan
+    "GET_ALL_ORDERS": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders ORDER BY o_orderkey
+    """,
 }
 
 
-def run_named_query(spark: SparkSession, name: str) -> DataFrame:
-    """Execute a registry query by name (views must be registered)."""
-    return spark.sql(NAMED_QUERIES[name])
+def run_named_query(spark: SparkSession, name: str, args: dict | None = None) -> DataFrame:
+    """Execute a registry query by name (views must be registered).
+    ``args`` binds named parameter markers (``:key``) — the engine analog
+    of the reference's ``?`` placeholders (sqlmanager.py:93-117)."""
+    return spark.sql(NAMED_QUERIES[name], args=args)
+
+
+# Name-routed WRITE operations — the reference reaches its upsert/status
+# statements by name too (INSERT_OR_UPDATE_LIST / UPDATE_LIST_STATUS,
+# queries/lists.sql:1-9,37-40 via pipelines.py:140-150). Each value is a
+# callable over DataFrames; dispatch is by the same name-lookup lifecycle.
+def _named_ops():
+    from whakoom_webscrapper_spark.operators import upsert as UP
+
+    return {
+        "INSERT_OR_UPDATE_ORDERS": lambda target, updates: UP.merge_upsert(
+            target, updates, ["o_orderkey"]
+        ),
+        "UPDATE_ORDER_STATUS": lambda target, done_keys: UP.status_rollup_update(
+            target, done_keys, "o_orderkey", "o_orderstatus"
+        ),
+    }
+
+
+def run_named_op(name: str, *args) -> DataFrame:
+    """Execute a registered write operation by name."""
+    return _named_ops()[name](*args)
 
 
 def write_version(path: str, version: int = SCHEMA_VERSION) -> None:

@@ -112,6 +112,17 @@ def out_link_ids(i: int, n_urls: int, fanout: int) -> list[int]:
     return [((i * 31) + 7 * j + 1) % n_urls for j in range(1, fanout + 1)]
 
 
+def budget_of(hid: int, budget_scale: int = 1) -> int:
+    """Per-host politeness budget (single source of truth — gen_robots and
+    the golden simulator both derive from here so they cannot drift)."""
+    return (4 + (hid % 13)) * budget_scale
+
+
+def disallow_of(hid: int) -> list[str]:
+    """Per-host robots disallow prefixes (shared with the golden sim)."""
+    return ["/page/9", "/admin"] if hid % 7 == 3 else ["/admin"]
+
+
 def fail_attempts_of(i: int) -> int:
     """Deterministic failure injection: how many times the fetch of page i
     fails before succeeding (reference retry semantics: 3 attempts,
@@ -207,9 +218,7 @@ def gen_robots(spark: SparkSession, n_hosts: int, budget_scale: int = 1) -> Data
     rows = []
     for hid in range(n_hosts):
         host = f"host{hid}.test"
-        budget = (4 + (hid % 13)) * budget_scale
-        disallow = ["/page/9", "/admin"] if hid % 7 == 3 else ["/admin"]
-        rows.append((host, budget, disallow))
+        rows.append((host, budget_of(hid, budget_scale), disallow_of(hid)))
     return spark.createDataFrame(
         rows,
         T.StructType(

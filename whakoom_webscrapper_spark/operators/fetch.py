@@ -50,8 +50,10 @@ VALIDATION_COLUMNS = [
 
 def page_id(url_col):
     """Extract the numeric page id from a synthetic URL (P2 analog —
-    reference: spiders/lists.py:47 ``href.rsplit("_", 1)[-1]``)."""
-    return F.regexp_extract(url_col, r"/page/(\d+)$", 1).cast("long")
+    reference: spiders/lists.py:47 ``href.rsplit("_", 1)[-1]``).
+    try_cast: a URL outside the /page/N shape yields NULL (the empty
+    regexp match would THROW under Spark 4's default ANSI mode)."""
+    return F.regexp_extract(url_col, r"/page/(\d+)$", 1).try_cast("long")
 
 
 def fail_attempts_expr(id_col):

@@ -125,13 +125,21 @@ def committed_epochs(cfg: CrawlConfig) -> list[int]:
 def cleanup_uncommitted(cfg: CrawlConfig) -> None:
     """Remove partial writes from an interrupted epoch so a re-run is a
     clean overwrite (the Spark analog of the reference's transaction
-    rollback, sqlmanager.py:249-264)."""
+    rollback, sqlmanager.py:249-264).
+
+    Negative epochs are init-time state (seen/epoch=-1 holds
+    robots-disallowed seeds, written by init_state before any commit
+    marker exists) — they are durable by construction and must survive
+    cleanup, otherwise a resumed crawl diverges from an uninterrupted
+    one whenever a seed is disallowed."""
     done = set(committed_epochs(cfg))
     nxt = (max(done) + 1) if done else 0
     for sub in ("pages", "seen", "lineage"):
         for d in glob.glob(_p(cfg, sub, "epoch=*")):
-            if int(d.rsplit("=", 1)[1]) not in done:
-                shutil.rmtree(d, ignore_errors=True)
+            e = int(d.rsplit("=", 1)[1])
+            if e < 0 or e in done:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
     for d in glob.glob(_p(cfg, "frontier", "epoch=*")):
         if int(d.rsplit("=", 1)[1]) > nxt:
             shutil.rmtree(d, ignore_errors=True)
@@ -150,12 +158,16 @@ def make_frontier_rows(
     canon = U.canonicalize_url(F.col("url"))
     host = U.url_host(F.col("url"))
     pid = page_id(F.col("url"))
+    # page_id regexp-extracts /page/(\d+)$; a URL outside that shape yields
+    # NULL, which would violate the non-null FRONTIER_SCHEMA and corrupt
+    # admission ordering downstream. Coalesce to the lowest priority (9)
+    # so foreign URLs still crawl (last), never silently NULL-propagate.
     return urls_df.select(
         F.xxhash64(canon).alias("url_hash"),
         canon.alias("url"),
         host.alias("host"),
         U.host_bucket(host, cfg.host_buckets).alias("host_bucket"),
-        ((pid * 40503) % 10).cast("int").alias("priority"),
+        F.coalesce(((pid * 40503) % 10).cast("int"), F.lit(9)).alias("priority"),
         F.lit(discovery_time).cast("long").alias("discovery_time"),
         F.lit(0).cast("int").alias("attempt"),
         F.lit(eligible_epoch).cast("int").alias("eligible_epoch"),
@@ -441,9 +453,18 @@ def init_state(spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame, robots: 
         )
 
 
-def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
+def crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    resume: bool = False,
+    overwrite: bool = False,
+) -> dict:
     """Run the crawl to frontier exhaustion (or max_epochs). With
-    ``resume=True``, continue from the last committed epoch."""
+    ``resume=True``, continue from the last committed epoch.
+
+    A fresh (non-resume) run over a state dir holding committed epochs is
+    destructive — it requires ``overwrite=True``; otherwise we refuse
+    rather than silently rmtree prior crawl state."""
     # cache the link graph (small, hit every epoch). The binary images
     # table is deliberately NOT cached: multi-GB binary blobs in executor
     # storage cause GC/eviction thrash (measured 2x slowdown at high
@@ -464,6 +485,11 @@ def crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
         start_epoch = (max(done) + 1) if done else 0
     else:
         if os.path.exists(cfg.state_dir):
+            if committed_epochs(cfg) and not overwrite:
+                raise RuntimeError(
+                    f"state dir {cfg.state_dir} holds committed crawl epochs; "
+                    "pass resume=True to continue or overwrite=True to destroy it"
+                )
             shutil.rmtree(cfg.state_dir)
         seeds = spark.read.parquet(os.path.join(cfg.world_dir, "seeds"))
         init_state(spark, cfg, seeds, rb)

