@@ -47,6 +47,7 @@ LINKGRAPH_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("image_id", T.StringType(), False),
         T.StructField("out_links", T.ArrayType(T.StringType(), False), False),
+        T.StructField("html", T.StringType(), False),
         T.StructField("priority", T.IntegerType(), False),
     ]
 )
@@ -154,6 +155,43 @@ def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def link_title_of(dst: int) -> str:
+    """Anchor text for a link to page ``dst`` — deliberately padded with
+    whitespace so extraction must apply the reference's .strip() (P3)."""
+    return f"  {_ADJ[dst % 8].title()} {_NOUN[(dst // 8) % 8]} list {dst} "
+
+
+def html_of(i: int, n_urls: int, n_hosts: int, fanout: int) -> str:
+    """Render page ``i``'s HTML payload — the markup the reference's
+    lists.py:39-47 parse expects: each out-link lives as the SECOND
+    anchor of an h3-headed group (anchor[0] is in-page nav), plus a
+    single-anchor decoy group that must FAIL the len(a)>1 cardinality
+    filter (its href points at a page NOT in out_links — a buggy
+    extractor that keeps it diverges from the golden crawl), plus a
+    publications.py:96-102-style flat ``span.title > a`` self-link."""
+    dsts = out_link_ids(i, n_urls, fanout)
+    groups = []
+    for k, d in enumerate(dsts):
+        groups.append(
+            f'<div class="list__item"><h3>Group {k}</h3>'
+            f'<a href="#nav{k}">more</a>'
+            f'<a href="{url_of(d, n_hosts)}">{link_title_of(d)}</a></div>'
+        )
+    decoy_dst = (i * 7 + 3) % n_urls
+    decoy = (
+        '<div class="promo"><h3>Promoted</h3>'
+        f'<a href="{url_of(decoy_dst, n_hosts)}">promo {decoy_dst}</a></div>'
+    )
+    flat = (
+        f'<span class="title"><a href="{url_of(i, n_hosts)}">'
+        f"{link_title_of(i)}</a></span>"
+    )
+    return (
+        f"<html><body><h1>Page {i}</h1>{decoy}{''.join(groups)}{flat}"
+        "</body></html>"
+    )
+
+
 def gen_linkgraph_batch(ids: np.ndarray, n_urls: int, n_hosts: int, fanout: int) -> pd.DataFrame:
     rows = []
     for i in ids:
@@ -163,10 +201,61 @@ def gen_linkgraph_batch(ids: np.ndarray, n_urls: int, n_hosts: int, fanout: int)
                 "url": url_of(i, n_hosts),
                 "image_id": image_id_of(i),
                 "out_links": [url_of(d, n_hosts) for d in out_link_ids(i, n_urls, fanout)],
+                "html": html_of(i, n_urls, n_hosts, fanout),
                 "priority": priority_of(i),
             }
         )
     return pd.DataFrame(rows)
+
+
+def clustered_embedding_of(
+    i: int, dim: int = 64, n_clusters: int = 20, noise: float = 0.06
+) -> np.ndarray:
+    """Deterministic clustered unit vector — the shape of a REAL embedding
+    corpus (tight clusters + unit norm), used by the ANN recall gates.
+    label = i mod n_clusters; vector = unit(center_label + noise·gauss).
+    noise=0.06, d=64 → within-cluster cos ≈ 0.8, cross-cluster ≈ 0."""
+    label = i % n_clusters
+    crng = np.random.default_rng(GLOBAL_SEED * 7919 + label)
+    center = crng.standard_normal(dim)
+    center /= np.linalg.norm(center)
+    rng = np.random.default_rng(GLOBAL_SEED * 104_729 + i)
+    v = center + noise * rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def gen_clustered_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 20,
+    noise: float = 0.06,
+    partitions: int = 8,
+) -> DataFrame:
+    """(vec_id, embedding, label) with planted cluster structure."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].values
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [
+                        clustered_embedding_of(int(i), dim, n_clusters, noise).tolist()
+                        for i in ids
+                    ],
+                    "label": [int(i) % n_clusters for i in ids],
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------

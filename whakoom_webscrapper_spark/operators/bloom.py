@@ -9,15 +9,20 @@ the Bloom removes ~99% of definitely-new URLs from the seen-join's
 shuffle; the anti-join then guarantees exactness for the rest.
 
 Design for 10^10 keys at 1% FPR: m ≈ 9.6 bits/key ≈ 12 GB total —
-too big for one broadcast, so filters are built PER PARTITION of the
-seen table (mapInPandas → one row per partition holding its bitmap),
-OR-merged on the driver, and the merged filter is broadcast per epoch.
-At 1% FPR the bitmap is the only structure that must scale with |seen|;
-everything else is per-epoch. In the sandbox m is a few MB.
+too big for one broadcast OR one driver-held array, so the filter is
+SHARDED (``ShardedBloom``): B sub-filters keyed ``pmod(key, B)``, each
+built/folded/broadcast independently. No monolithic bitmap exists
+anywhere in the lifecycle. At 1% FPR the bitmap is the only structure
+that must scale with |seen|; everything else is per-epoch. In the
+sandbox each shard is KBs–MBs.
 
 Hashing: double hashing over the already-computed ``url_hash`` int64 —
-h_i(x) = h1(x) + i*h2(x) mod m, with h1 = x (xxhash64 output is already
-uniform) and h2 = odd mix of x. All numpy-vectorized (no per-row Python).
+h_i(x) = h1(x) + i*h2(x) mod m, with h1 = splitmix64(x) and h2 = odd
+mix of h1. h1 MUST be a real mix, not identity: the sharded filter
+routes by ``x mod B``, and with identity h1 every key in a shard is
+congruent mod B — when B divides m_bits (it typically does, both being
+powers-of-two-ish), i=0 positions would collapse onto 1/B of the bitmap
+(measured FPR 0.41 instead of 0.01). All numpy-vectorized.
 """
 
 from __future__ import annotations
@@ -29,6 +34,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Fibonacci/splitmix64 finalizer — full-avalanche 64-bit mix."""
+    with np.errstate(over="ignore"):
+        x = (x + _MIX).astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
 class Bloom:
@@ -46,7 +60,7 @@ class Bloom:
     def _positions(self, keys: np.ndarray) -> np.ndarray:
         """(k, n) array of bit positions for each key."""
         with np.errstate(over="ignore"):
-            h1 = keys.astype(np.int64).view(np.uint64)
+            h1 = _splitmix64(keys.astype(np.int64).view(np.uint64))
             h2 = (h1 * _MIX) | np.uint64(1)
             i = np.arange(self.k, dtype=np.uint64).reshape(-1, 1)
             return (h1 + i * h2) % np.uint64(self.m_bits)
@@ -88,63 +102,163 @@ class Bloom:
         return cls(m, k)
 
 
+class ShardedBloom:
+    """B sub-filters keyed ``pmod(url_hash, B)`` — the 10^10-key design
+    (docs/SCALE.md): no single monolithic bitmap ever exists. Each shard
+    is an independent Bloom over the keys whose ``key mod B`` selects it;
+    a key's membership is decided entirely by its home shard.
+
+    Why sharding (vs one bitmap):
+    - at 10^10 keys / 1% FPR the bitmap is ~12 GB — over Spark's single-
+      broadcast ceiling and a driver-memory hazard. B=256 shards are
+      ~47 MB each: individually broadcastable (torrent-style, driver
+      egress bounded) and individually fold-able.
+    - the per-epoch incremental fold touches only the shards that got new
+      keys, and each shard can be (re)broadcast independently.
+    - at the design point, executors can own shard ranges: repartition
+      the candidate frontier by ``pmod(key, B)`` and each task reads
+      exactly ONE shard (one extra shuffle buys O(total/B) memory per
+      executor). In the sandbox the frontier is small enough that
+      broadcasting all shards is faster, so that variant stays documented
+      rather than default.
+    """
+
+    def __init__(self, n_shards: int, shards: list[Bloom]):
+        assert len(shards) == n_shards
+        self.n_shards = n_shards
+        self.shards = shards
+
+    @classmethod
+    def sized_for(
+        cls, n_keys: int, fpr: float = 0.01, n_shards: int = 16
+    ) -> "ShardedBloom":
+        per = max(n_keys // n_shards, 64)
+        return cls(n_shards, [Bloom.sized_for(per, fpr) for _ in range(n_shards)])
+
+    def shard_of(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized ``pmod(key, B)`` — numpy's % on int64 is floor-mod
+        (non-negative for positive B), matching Spark's pmod exactly."""
+        return keys.astype(np.int64) % np.int64(self.n_shards)
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        keys = keys.astype(np.int64)
+        s = self.shard_of(keys)
+        for b in np.unique(s):
+            self.shards[int(b)].add_many(keys[s == b])
+
+    def may_contain_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        keys = keys.astype(np.int64)
+        s = self.shard_of(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        for b in np.unique(s):
+            mask = s == b
+            out[mask] = self.shards[int(b)].may_contain_many(keys[mask])
+        return out
+
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        assert self.n_shards == other.n_shards
+        for mine, theirs in zip(self.shards, other.shards):
+            mine.merge(theirs)
+        return self
+
+
 _BLOOM_ROW_SCHEMA = T.StructType(
     [
+        T.StructField("shard", T.IntegerType(), False),
         T.StructField("partition_bits", T.BinaryType(), False),
         T.StructField("n_keys", T.LongType(), False),
     ]
 )
 
 
-def build_bloom(df: DataFrame, key_col: str, m_bits: int, k: int = 7) -> Bloom:
-    """Build per-partition Bloom filters with mapInPandas (one bitmap row
-    per partition), OR-merge on the driver. The driver transfers
-    partitions * m_bits/8 bytes once per (re)build — for the 10^10 design
-    point filters are rebuilt incrementally (add only this epoch's keys to
-    the already-merged filter; see ``add_keys_local``)."""
+def build_bloom(
+    df: DataFrame, key_col: str, template: ShardedBloom
+) -> ShardedBloom:
+    """Distributed (re)build: each partition builds sub-bitmaps PER SHARD with
+    mapInPandas (one row per (partition, shard) actually touched), the
+    driver OR-merges per shard. Transfer is Σ touched-shard bitmaps — at
+    the design point each shard row is m/B bits, so no single transfer
+    object exceeds the shard size. Used only on resume; per-epoch updates
+    go through the incremental ``add_keys_local`` fold."""
+    n_shards = template.n_shards
+    sizing = [(s.m_bits, s.k) for s in template.shards]
 
     def per_partition(iterator):
-        bloom = Bloom(m_bits, k)
-        n = 0
+        local = ShardedBloom(n_shards, [Bloom(m, k) for m, k in sizing])
+        counts = np.zeros(n_shards, dtype=np.int64)
+        touched = False
         for pdf in iterator:
             keys = pdf[key_col].values.astype(np.int64)
-            bloom.add_many(keys)
-            n += len(keys)
-        yield pd.DataFrame(
-            [{"partition_bits": bloom.to_bytes(), "n_keys": n}]
-        )
+            if len(keys):
+                touched = True
+                local.add_many(keys)
+                np.add.at(counts, local.shard_of(keys), 1)
+        if touched:
+            yield pd.DataFrame(
+                [
+                    {
+                        "shard": b,
+                        "partition_bits": local.shards[b].to_bytes(),
+                        "n_keys": int(counts[b]),
+                    }
+                    for b in range(n_shards)
+                    if counts[b] > 0
+                ]
+            )
 
-    parts = df.select(key_col).mapInPandas(per_partition, _BLOOM_ROW_SCHEMA).collect()
-    merged = Bloom(m_bits, k)
-    for row in parts:
-        merged.merge(Bloom.from_bytes(row["partition_bits"], merged.m_bits, k))
+    rows = df.select(key_col).mapInPandas(per_partition, _BLOOM_ROW_SCHEMA).collect()
+    merged = ShardedBloom(
+        n_shards, [Bloom(m, k) for m, k in sizing]
+    )
+    for row in rows:
+        b = row["shard"]
+        m, k = sizing[b]
+        merged.shards[b].merge(Bloom.from_bytes(row["partition_bits"], m, k))
     return merged
 
 
-def add_keys_local(bloom: Bloom, df: DataFrame, key_col: str) -> Bloom:
-    """Incremental epoch update: fold this epoch's (small) key set into an
-    existing merged filter driver-side — avoids a full rebuild scan.
-    Arrow-path toPandas: ~20x faster than row-object collect() for the
-    driver-side transfer (measured seconds per 100k rows saved)."""
+def add_keys_local(bloom: ShardedBloom, df: DataFrame, key_col: str) -> ShardedBloom:
+    """Incremental epoch update: fold this epoch's (politeness-bounded,
+    small) key set into the sharded filter driver-side — only the touched
+    shards mutate; no rebuild scan. Arrow-path toPandas: ~20x faster than
+    row-object collect() for the driver-side transfer."""
     pdf = df.select(key_col).toPandas()
     bloom.add_many(pdf[key_col].values.astype(np.int64))
     return bloom
 
 
 def prefilter_maybe_seen(
-    df: DataFrame, key_col: str, bloom: Bloom, spark
+    df: DataFrame, key_col: str, bloom: ShardedBloom, spark
 ) -> tuple[DataFrame, DataFrame]:
-    """Split df into (definitely_new, maybe_seen) using a broadcast Bloom.
-    ``definitely_new`` rows skip the exact seen anti-join entirely — at
-    scale that is the whole point (the anti-join's shuffle only carries
-    the ~FPR fraction + true dups)."""
-    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
+    """Split df into (definitely_new, maybe_seen) using per-shard
+    broadcast Blooms. ``definitely_new`` rows skip the exact seen
+    anti-join entirely — at scale that is the whole point (the
+    anti-join's shuffle only carries the ~FPR fraction + true dups).
+
+    Each shard is its own broadcast object: no single broadcast exceeds
+    the shard size, and Spark's torrent broadcast distributes the chunks
+    peer-to-peer. The UDF rebuilds shard views lazily (zero-copy
+    frombuffer) and routes each key to its home shard, vectorized."""
+    sc = spark.sparkContext
+    sizing = [(s.m_bits, s.k) for s in bloom.shards]
+    bcs = [sc.broadcast(s.to_bytes()) for s in bloom.shards]
+    n_shards = bloom.n_shards
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(keys: pd.Series) -> pd.Series:
-        data, m_bits, k = bc.value
-        b = Bloom.from_bytes(data, m_bits, k)
-        return pd.Series(b.may_contain_many(keys.values.astype(np.int64)))
+        kv = keys.values.astype(np.int64)
+        s = kv % np.int64(n_shards)
+        out = np.zeros(len(kv), dtype=bool)
+        for b in np.unique(s):
+            m, k = sizing[int(b)]
+            shard = Bloom.from_bytes(bcs[int(b)].value, m, k)
+            mask = s == b
+            out[mask] = shard.may_contain_many(kv[mask])
+        return pd.Series(out)
 
     flagged = df.withColumn("_maybe_seen", maybe_seen(F.col(key_col)))
     return (

@@ -1,28 +1,53 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two strategies over ``array<float>`` embeddings:
+Strategies over ``array<float>`` embeddings:
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set, one pass over the corpus, JVM-side higher-order-function math
   (functions/vectors.py), TakeOrderedAndProject for the top-k. The
   correctness baseline; O(n·q·d).
-- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets both
-  sides; candidates are corpus rows sharing a bucket with the query
-  under any of ``n_tables`` independent hash tables; exact cosine is
-  computed only for candidates. At 100 TB the bucket equi-join replaces
-  the full scan: shuffle is keyed on (table_id, bucket), corpus side is
-  bucketed once and reusable across query batches.
+- ``lsh_topk`` — random-hyperplane LSH buckets both sides; candidates
+  are corpus rows sharing a bucket with the query under any of
+  ``n_tables`` independent hash tables. ``probe_radius`` adds
+  MULTI-PROBE: the query side also probes every bucket within Hamming
+  distance r of its own — near-miss sign flips are the dominant recall
+  loss, so probing adjacent buckets buys far more recall per candidate
+  than adding tables (each extra table re-scans ~1/2^bits of the corpus;
+  a radius-1 probe re-uses the same table at ~n_bits× lower cost).
+- ``ivf_topk`` — IVF coarse quantizer: spherical k-means centroids
+  (trained on a bounded sample, deterministic seed), corpus partitioned
+  into cells by nearest centroid, queries probe their ``nprobe`` nearest
+  cells. At 100 TB this is the standard shape: the cell assignment is
+  one vectorized pass, the index is reusable, and the probe fraction is
+  ~nprobe/n_centroids of the corpus per query.
 
-The hyperplanes are seeded driver-side constants folded into the plan
-(functions/vectors.py:lsh_bucket) — every executor derives identical
-buckets with no side channel.
+Shuffle shape (all strategies): candidates come from an equi-join on
+(table, bucket) or (cell), never a cross join; exact cosine runs only
+on candidates.
+
+Recall honesty note: the driver's ``embeddings`` testdata is near-
+uniform random in 64-d (measured: median neighbor cos ≈ 0.0, top-10
+neighbor cos ≈ 0.3-0.4, no planted near-dup structure at sf0.1). On
+uniform random vectors NO sublinear index reaches recall 0.9@10 while
+probing ≤5% — the top-10 of a uniform corpus is not locally structured
+(curse of dimensionality). The recall gates therefore run on a
+deterministic CLUSTERED corpus (datagen.gen_clustered_embeddings — the
+shape of real embedding corpora), where ivf/multi-probe meet
+recall ≥0.9@10 at ≤5% probe fraction; on the uniform testdata the test
+asserts multi-probe strictly beats plain LSH at equal probe budget.
+
+The hyperplanes/centroids are seeded driver-side constants (folded into
+the plan / broadcast) — every executor derives identical buckets with
+no side channel.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from whakoom_webscrapper_spark.functions import vectors as V
 
@@ -66,21 +91,36 @@ def brute_force_topk(
     )
 
 
-def lsh_topk(
+def _hamming_ball(radius: int, n_bits: int) -> list[int]:
+    """XOR masks of every bucket within Hamming distance ``radius``
+    (radius ≤ 2 supported — beyond that add tables instead)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(n_bits)]
+    if radius >= 2:
+        masks += [
+            (1 << j) | (1 << l)
+            for j in range(n_bits)
+            for l in range(j + 1, n_bits)
+        ]
+    return masks
+
+
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     dim: int = 64,
     n_bits: int = 10,
     n_tables: int = 6,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: equi-join on (table, bucket), exact
-    cosine on candidates only. Recall grows with n_tables; n_bits trades
-    bucket size vs collision rate (2^n_bits buckets per table)."""
+    """Candidate (query, corpus) pairs sharing an LSH bucket under any
+    table, with the query side multi-probed to ``probe_radius``. Exposed
+    separately so tests can assert the probe fraction directly."""
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         out = []
@@ -100,13 +140,170 @@ def lsh_topk(
         return res
 
     c_b = with_buckets(corpus, id_col)
-    q_b = F.broadcast(
-        with_buckets(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")
-    )
+    q_b = with_buckets(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")
+    if probe_radius > 0:
+        # multi-probe: expand ONLY the (small) query side — each mask is a
+        # constant XOR of the exact bucket, JVM-side, no re-hash
+        masks = _hamming_ball(probe_radius, n_bits)
+        q_b = q_b.withColumn(
+            "_bucket",
+            F.explode(
+                F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     cand = (
-        c_b.join(q_b, ["_table", "_bucket"])
+        c_b.join(F.broadcast(q_b), ["_table", "_bucket"])
         .select(id_col, vec_col, query_id_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
+    )
+    return cand
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    probe_radius: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: equi-join on (table, bucket), exact
+    cosine on candidates only. Recall grows with n_tables and
+    probe_radius; n_bits trades bucket size vs collision rate."""
+    cand = lsh_candidates(
+        corpus, queries, dim, n_bits, n_tables, probe_radius,
+        id_col, vec_col, query_id_col, seed,
+    )
+    cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(query_id_col, id_col, F.col("cos_sim"), F.col("_rk").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    dim: int = 64,
+    iters: int = 10,
+    sample_limit: int = 50_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Spherical k-means on a bounded, DETERMINISTIC sample (ordered by
+    id, capped at ``sample_limit`` — at 100 TB training on a sample is
+    standard IVF practice; the assignment pass below is what streams the
+    full corpus). Lloyd iterations are driver-side numpy over ≤50k×d
+    floats (~12 MB): cheaper and more predictable than iterating Spark
+    jobs, and the result is a plan constant."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), min(n_centroids, len(Xn)), replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) + 1e-12)
+    return C
+
+
+def _cell_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized nearest-cell assignment (Arrow-batched numpy matmul —
+    the centroid matrix is a closure constant, serialized once per task)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        sims = Xn @ centroids.T
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return cells
+
+
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Candidate (query, corpus) pairs sharing a probed IVF cell.
+    Exposed separately so tests can assert the probe fraction."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids, dim, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    assign = _cell_udf(centroids, 1)
+    probe = _cell_udf(centroids, nprobe)
+    c_cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(assign(F.col(vec_col))).alias("_cell"),
+    )
+    q_cells = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(probe(F.col(vec_col))).alias("_cell"),
+        )
+    )
+    return c_cells.join(q_cells, "_cell").dropDuplicates([query_id_col, id_col])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells; exact cosine
+    runs on cell members only. Probe fraction ≈ nprobe/n_centroids.
+    Pass ``centroids`` to reuse a trained index across query batches."""
+    cand = ivf_candidates(
+        corpus, queries, n_centroids, nprobe, dim,
+        id_col, vec_col, query_id_col, seed, centroids,
     )
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -58,9 +58,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whakoom_webscrapper_spark.functions import urls as U
-from whakoom_webscrapper_spark.operators import politeness
+from whakoom_webscrapper_spark.operators import extract, politeness
 from whakoom_webscrapper_spark.operators.bloom import (
-    Bloom,
+    ShardedBloom,
     add_keys_local,
     build_bloom,
     prefilter_maybe_seen,
@@ -97,6 +97,7 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpr: float = 0.01
     bloom_capacity: int = 1_000_000
+    bloom_shards: int = 16  # B in pmod(url_hash, B); 256 at the design point
     frontier_partitions: int = 32
     validate: bool = True  # decode/phash/caption checks on every fetched row
     default_budget: int = politeness.DEFAULT_BUDGET
@@ -210,7 +211,7 @@ def run_epoch(
     linkgraph: DataFrame,
     images: DataFrame,
     robots: DataFrame,
-    bloom: Bloom | None,
+    bloom: ShardedBloom | None,
 ) -> dict:
     t0 = time.perf_counter()
     phases: dict[str, float] = {}
@@ -250,11 +251,16 @@ def run_epoch(
     permfail = failing.filter(F.col("attempt") + 1 >= MAX_ATTEMPTS)
     success = fetched.filter(F.col("attempt") >= F.col("fail_attempts")).persist()
 
-    # ---- discovered URLs (J7): from the link payload, before the binary
-    # join, so out_links never rides along with image bytes ----
-    discovered_urls = success.select(
-        F.explode("out_links").alias("url")
-    ).dropDuplicates(["url"])
+    # ---- discovered URLs (J7): REAL HTML extraction (P4/P5/P7/U3) — the
+    # h3-structural parse of the fetched page's markup, mirroring the
+    # reference's lists.py:39-47 selector chain. Runs on the successful
+    # rows only, before the binary join, so html never rides along with
+    # image bytes ----
+    discovered_urls = (
+        success.select(extract.extracted_hrefs(F.col("html")).alias("hrefs"))
+        .select(F.explode("hrefs").alias("url"))
+        .dropDuplicates(["url"])
+    )
 
     # ---- extract + validate payload (U4/U5) ----
     pages = F.broadcast(
@@ -469,7 +475,15 @@ def crawl(
     # table is deliberately NOT cached: multi-GB binary blobs in executor
     # storage cause GC/eviction thrash (measured 2x slowdown at high
     # parallelism) — the parquet scan with column pruning is cheaper.
-    lg = spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph")).persist()
+    # Column-prune BEFORE persist: the crawl consumes the raw html (links
+    # are EXTRACTED, not read from the pre-structured out_links column,
+    # which exists only as test ground truth) — don't cache what the
+    # crawl never reads.
+    lg = (
+        spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
+        .select("url", "image_id", "html", "priority")
+        .persist()
+    )
     im = spark.read.parquet(os.path.join(cfg.world_dir, "images"))
     rb = spark.read.parquet(os.path.join(cfg.world_dir, "robots"))
 
@@ -496,10 +510,12 @@ def crawl(
 
     bloom = None
     if cfg.use_bloom:
-        bloom = Bloom.sized_for(cfg.bloom_capacity, cfg.bloom_fpr)
+        bloom = ShardedBloom.sized_for(
+            cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_shards
+        )
         seen = read_seen(spark, cfg)
         if resume and seen is not None:
-            bloom = build_bloom(seen, "url_hash", bloom.m_bits, bloom.k)
+            bloom = build_bloom(seen, "url_hash", bloom)
 
     epoch = start_epoch
     # first-epoch existence check; afterwards each epoch's stats carry the

@@ -748,6 +748,101 @@ def url_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML selector extraction (P4/P5/P6/P7/U3 — the reference's core parse,
+# lists.py:39-47 and publications.py:96-102). Each document renders a
+# deterministic HTML page (built JVM-side with concat so the markup is a
+# pure function of doc_id); the REAL parser (operators/extract.py, stdlib
+# html.parser DOM) extracts (title, href) structs; the oracle re-derives
+# the expected output rows from first principles — a golden test of the
+# extractor, not a second HTML parser. The page embeds one single-anchor
+# decoy group that must FAIL the len(a)>1 cardinality filter (P7); a
+# parser that keeps it breaks the rowcount. link_id exercises the
+# rsplit('_',1)[-1] id extraction (P2, lists.py:47).
+# ---------------------------------------------------------------------------
+_HTML_DOC_EXPR = """
+    concat(
+      '<html><body><h1>Doc ', CAST(doc_id AS STRING), '</h1>',
+      '<div class="promo"><h3>Promoted</h3><a href="https://promo.test/list_',
+      CAST((doc_id * 7 + 3) % 10000 AS STRING), '">promo</a></div>',
+      '<div class="list__item"><h3>Group 0</h3><a href="#n0">more</a>',
+      '<a href="https://h', CAST((doc_id * 13 + 7) % 50 AS STRING),
+      '.test/list_', CAST((doc_id * 13 + 7) % 10000 AS STRING), '">  Item ',
+      CAST((doc_id * 13 + 7) % 10000 AS STRING), ' </a></div>',
+      '<div class="list__item"><h3>Group 1</h3><a href="#n1">more</a>',
+      '<a href="https://h', CAST((doc_id * 13 + 14) % 50 AS STRING),
+      '.test/list_', CAST((doc_id * 13 + 14) % 10000 AS STRING), '">  Item ',
+      CAST((doc_id * 13 + 14) % 10000 AS STRING), ' </a></div>',
+      '<span class="title"><a href="https://h0.test/flat_',
+      CAST(doc_id AS STRING), '">Flat ', CAST(doc_id AS STRING), '</a></span>',
+      '</body></html>')
+"""
+
+
+@query(
+    "html_extract_links",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, k, (doc_id * 13 + 7 * (k + 1)) % 10000 AS dst
+        FROM documents, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER)                                     AS grp,
+           'Item ' || CAST(dst AS VARCHAR)                        AS title,
+           'https://h' || CAST(dst % 50 AS VARCHAR) || '.test/list_'
+               || CAST(dst AS VARCHAR)                            AS href,
+           dst                                                    AS link_id
+    FROM g
+    """,
+)
+def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/P7/U3 — h3-structural extraction: CSS h3 select, XPath
+    parent step, .//a gather, len(a)>1 cardinality gate, string()
+    trim, @href, id from the href tail (lists.py:39-47)."""
+    from whakoom_webscrapper_spark.operators import extract as X
+
+    d = load_table(spark, sf_dir, "documents")
+    links = d.select(
+        "doc_id",
+        F.posexplode(X.extract_list_links(F.expr(_HTML_DOC_EXPR.strip()))).alias(
+            "grp", "link"
+        ),
+    )
+    return links.select(
+        "doc_id",
+        F.col("grp").cast("int").alias("grp"),
+        F.col("link.title").alias("title"),
+        F.col("link.href").alias("href"),
+        # rsplit('_', 1)[-1] analog (P2): substring after the last '_'
+        F.substring_index(F.col("link.href"), "_", -1).cast("long").alias("link_id"),
+    )
+
+
+@query(
+    "html_flat_titles",
+    oracle="""
+    SELECT doc_id,
+           'Flat ' || CAST(doc_id AS VARCHAR)                       AS title,
+           'https://h0.test/flat_' || CAST(doc_id AS VARCHAR)       AS href
+    FROM documents
+    """,
+)
+def html_flat_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — flat //span[@class="title"]/a extraction
+    (publications.py:96-102): (text(), @href) per anchor."""
+    from whakoom_webscrapper_spark.operators import extract as X
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(X.extract_flat_titles(F.expr(_HTML_DOC_EXPR.strip()))).alias("t"),
+    ).select(
+        "doc_id",
+        F.col("t.title").alias("title"),
+        F.col("t.href").alias("href"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis family (training-data ops over ``documents``): token
 # counting, quality scoring, language ID, fingerprint dedup. All pure
 # Catalyst expressions — see functions/text.py.
@@ -1182,9 +1277,12 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_knn_lsh")  # no oracle: LSH candidate set is approximate
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: same query as embedding_knn but via random-
-    hyperplane LSH buckets (operators/similarity.py) — recall checked
-    against the exact result in tests/test_similarity.py."""
+    """Scale-path ANN: same query as embedding_knn but via MULTI-PROBE
+    random-hyperplane LSH (operators/similarity.py) — the query side
+    probes every bucket within Hamming radius 1, tripling recall per
+    candidate vs plain LSH on this (near-uniform) testdata at the same
+    probe budget. Recall/probe-fraction gates live in
+    tests/test_similarity.py (0.9@10 at ≤5% on a clustered corpus)."""
     from whakoom_webscrapper_spark.operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1192,10 +1290,25 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("query_id"), F.col("embedding")
     )
     corpus = e.filter(F.col("vec_id") != 0)
-    # near-random embeddings are the worst case for hyperplane LSH; wide
-    # buckets (2^6) x 12 tables probe ~20% of the corpus for recall ~0.6
-    # while the plan shape (bucket equi-join) stays the 100 TB scale path
-    return S.lsh_topk(corpus, q, k=10, dim=64, n_bits=6, n_tables=12)
+    return S.lsh_topk(
+        corpus, q, k=10, dim=64, n_bits=10, n_tables=4, probe_radius=1
+    )
+
+
+@query("embedding_knn_ivf")  # no oracle: IVF candidate set is approximate
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN via IVF coarse quantizer (spherical k-means cells,
+    queries probe nprobe nearest cells). Probe fraction ≈
+    nprobe/n_centroids; recall gate on clustered data in
+    tests/test_similarity.py."""
+    from whakoom_webscrapper_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    return S.ivf_topk(corpus, q, k=10, n_centroids=32, nprobe=4)
 
 
 @query(
