@@ -41,12 +41,15 @@ HEADLINE = [
     "events_dedup",
     "events_hourly",
     "url_canonicalize",
+    "html_extract_links",
     "text_stats",
     "lang_id_counts",
     "exact_dedup_stats",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above
     "embedding_knn",
+    "embedding_knn_ivf",
     "embedding_dup_pairs",
 ]
 

@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--no-validate", action="store_true",
                     help="skip decode/phash checks (bench the frontier only)")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-carryover", action="store_true",
+                    help="disable token-bucket carry-over (fixed per-epoch budgets)")
     ap.add_argument("--no-images", action="store_true",
                     help="world without binary payloads (frontier-only bench)")
     args = ap.parse_args()
@@ -71,6 +73,7 @@ def main() -> None:
         frontier_partitions=args.partitions,
         validate=not (args.no_validate or args.no_images),
         use_bloom=not args.no_bloom,
+        token_carryover=not args.no_carryover,
         collect_stats=not args.lean,
     )
     t0 = time.perf_counter()

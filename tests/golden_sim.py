@@ -55,9 +55,13 @@ def simulate(
     max_epochs: int = 50,
     default_budget: int = 8,
     budget_scale: int = 1,
+    token_carryover: bool = True,
+    burst_factor: int = 2,
 ):
     """Returns (seen: dict url->status, fetch_log: list of
-    (epoch, host, host_rank, url))."""
+    (epoch, host, host_rank, url)). Token bucket semantics mirror the
+    engine (U6): available = min(carry + budget, burst*budget); unspent
+    tokens carry over; admitted attempts (incl. failures) spend tokens."""
     robots = robots_of(n_hosts, budget_scale)
     # frontier: url -> [priority, discovery_time, attempt, eligible_epoch]
     frontier: dict[str, list] = {}
@@ -81,20 +85,32 @@ def simulate(
     for u in seed_urls:
         enter(u, 0, 0)
 
+    carry: dict[str, int] = {h: 0 for h in robots}
     for epoch in range(max_epochs):
+        if not frontier:
+            break
+        # token accrual happens every politeness interval the crawl is
+        # live, even if nothing is eligible this epoch (engine parity:
+        # run_epoch always writes hosttokens while the frontier is
+        # nonempty)
+        if token_carryover:
+            avail = {
+                h: min(carry[h] + robots[h][0], burst_factor * robots[h][0])
+                for h in robots
+            }
+        else:
+            avail = {h: robots[h][0] for h in robots}
+        spent: dict[str, int] = defaultdict(int)
         eligible = [
             (v[0], v[1], url) for url, v in frontier.items() if v[3] <= epoch
         ]
-        if not frontier:
-            break
-        if not eligible:
-            continue
         by_host: dict[str, list] = defaultdict(list)
         for prio, dt, url in eligible:
             by_host[_host_of_url(url)].append((prio, dt, url))
         for host, items in by_host.items():
             items.sort()
-            budget = robots.get(host, (default_budget, []))[0]
+            budget = avail.get(host, default_budget)
+            spent[host] = min(len(items), budget)
             for rank, (prio, dt, url) in enumerate(items[:budget], start=1):
                 pid = page_id(url)
                 ent = frontier[url]
@@ -115,4 +131,6 @@ def simulate(
                             epoch + 1,
                             epoch + 1,
                         )
+        if token_carryover:
+            carry = {h: avail[h] - spent.get(h, 0) for h in robots}
     return seen, fetch_log

@@ -173,6 +173,9 @@ def test_foreign_url_priority_coalesced(spark):
 
 
 def test_budget_respected_per_host_per_epoch(spark, crawl_result):
+    """Token bucket invariant: per-epoch spend never exceeds the burst
+    cap (burst x budget); epoch-0 spend never exceeds one interval's
+    budget (bucket starts empty + one accrual)."""
     cfg, _ = crawl_result
     pages = spark.read.parquet(f"{cfg.state_dir}/pages")
     counts = (
@@ -182,7 +185,8 @@ def test_budget_respected_per_host_per_epoch(spark, crawl_result):
     )
     budgets = golden_sim.robots_of(N_HOSTS)
     for r in counts:
-        assert r["max_rank"] <= budgets[r["host"]][0]
+        cap = budgets[r["host"]][0] * (1 if r["fetch_epoch"] == 0 else 2)
+        assert r["max_rank"] <= cap
 
 
 def test_disallowed_never_fetched(spark, crawl_result):

@@ -38,7 +38,10 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-SCHEMA_VERSION = 1
+# bumped by migrations.py history (v2: pages.caption_tokens) — fresh
+# states are born at the latest version; older states must run the
+# migration job (jobs/migrate.py) before resume
+SCHEMA_VERSION = 2
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

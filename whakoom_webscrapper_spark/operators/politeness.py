@@ -7,13 +7,16 @@ per-host request rate. The engine's epoch model makes both set-oriented:
 - robots rules live in a small DataFrame, broadcast-joined onto the
   frontier; a disallowed URL never enters the frontier (same place in the
   lifecycle as Scrapy's robots middleware — before scheduling).
-- the token bucket becomes *rank ≤ budget per host per epoch*: an epoch
-  represents one politeness interval, so a host's bucket holds
-  ``epoch_budget`` tokens. Admission order is the north rule's
-  ``(priority, discovery_time, url)`` — implemented as ``row_number()``
-  over a host-partitioned window, which Spark executes as one shuffle by
-  host with in-partition sort: pure built-ins, whole-stage codegen, no
-  Python. Carry-over is free: unadmitted rows simply stay ``pending``.
+- the token bucket becomes *rank ≤ available(host) per epoch*: an epoch
+  represents one politeness interval; a host ACCRUES ``epoch_budget``
+  tokens per interval into a bucket capped at ``burst × epoch_budget``
+  (the classic token bucket's Δt accrual + burst capacity — AutoThrottle
+  analog). Unspent tokens carry over (``accrue_tokens``), persisted per
+  epoch in the crawl state so resume is exact. Admission order is the
+  north rule's ``(priority, discovery_time, url)`` — implemented as
+  ``row_number()`` over a host-partitioned window, which Spark executes
+  as one shuffle by host with in-partition sort: pure built-ins,
+  whole-stage codegen, no Python.
 
 Skew note (BASELINE.json:14): the window shuffle keys by ``host``; a hot
 host concentrates its rows in one partition, but only until the rank
@@ -30,6 +33,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUDGET = 8
+BURST_FACTOR = 2  # bucket capacity = BURST_FACTOR x epoch_budget
+
+
+def accrue_tokens(
+    robots: DataFrame,
+    carry: DataFrame | None,
+    burst: int = BURST_FACTOR,
+) -> DataFrame:
+    """Token-bucket accrual for one politeness interval:
+    ``available = min(carry + epoch_budget, burst*epoch_budget)`` per
+    robots host. ``carry`` is the previous epoch's unspent tokens
+    (host, carry) or None at epoch 0 (bucket starts at one interval's
+    budget). Small (one row per host) — rides the same broadcast as the
+    robots rules."""
+    b = robots.select("host", "epoch_budget")
+    if carry is None:
+        return b.withColumn("available", F.col("epoch_budget"))
+    return (
+        b.join(carry.select("host", "carry"), "host", "left")
+        .withColumn(
+            "available",
+            F.least(
+                F.coalesce(F.col("carry"), F.lit(0)) + F.col("epoch_budget"),
+                F.lit(burst) * F.col("epoch_budget"),
+            ).cast("int"),
+        )
+        .select("host", "epoch_budget", "available")
+    )
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -60,18 +91,27 @@ def admit_per_host(
     robots: DataFrame,
     n_salts: int = 8,
     default_budget: int = DEFAULT_BUDGET,
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Token-bucket admission: top-``epoch_budget`` rows per host in
+    """Token-bucket admission: top-``available`` rows per host in
     (priority, discovery_time, url) order. Returns (admitted, deferred);
     ``admitted`` gains a ``host_rank`` column (1-based, the deterministic
     per-host crawl order the correctness gate compares).
+
+    ``tokens`` is the accrued bucket (host, available) from
+    ``accrue_tokens``; without it the budget is the per-epoch constant
+    (no carry-over — the pre-U6 behavior, kept for ad-hoc admission).
 
     Two-phase to bound skew: phase 1 ranks within (host, salt) and keeps
     at most ``budget`` per salt bucket, so the exact phase-2 per-host sort
     sees ≤ budget × n_salts rows for even the hottest host.
     """
-    b = F.broadcast(robots.select("host", "epoch_budget"))
-    cand = candidates.join(b, "host", "left").withColumn(
+    budgets = (
+        tokens.select("host", F.col("available").alias("epoch_budget"))
+        if tokens is not None
+        else robots.select("host", "epoch_budget")
+    )
+    cand = candidates.join(F.broadcast(budgets), "host", "left").withColumn(
         "_budget", F.coalesce(F.col("epoch_budget"), F.lit(default_budget))
     ).drop("epoch_budget")
 
@@ -86,6 +126,12 @@ def admit_per_host(
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = pruned.withColumn("host_rank", F.row_number().over(w2))
     admitted = ranked.filter(F.col("host_rank") <= F.col("_budget")).drop("_budget")
-    deferred_keys = admitted.select("url_hash")
-    deferred = cand.drop("_budget").join(deferred_keys, "url_hash", "left_anti")
-    return admitted, deferred
+    return admitted, deferred_of(candidates, admitted)
+
+
+def deferred_of(candidates: DataFrame, admitted: DataFrame) -> DataFrame:
+    """Eligible-but-unadmitted complement. Anti-join against the RAW
+    candidate input (not the budget-joined lineage) so the robots
+    broadcast + window chain is never recomputed on the deferred side —
+    pass the PERSISTED admitted for a cache-hit key side."""
+    return candidates.join(admitted.select("url_hash"), "url_hash", "left_anti")

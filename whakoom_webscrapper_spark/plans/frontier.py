@@ -53,10 +53,11 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from whakoom_webscrapper_spark.functions import text as TXT
 from whakoom_webscrapper_spark.functions import urls as U
 from whakoom_webscrapper_spark.operators import extract, politeness
 from whakoom_webscrapper_spark.operators.bloom import (
@@ -94,6 +95,8 @@ class CrawlConfig:
     max_epochs: int = 50
     n_salts: int = 8
     host_buckets: int = 256
+    token_carryover: bool = True  # U6: unspent tokens accrue (cap burst x budget)
+    burst_factor: int = politeness.BURST_FACTOR
     use_bloom: bool = True
     bloom_fpr: float = 0.01
     bloom_capacity: int = 1_000_000
@@ -102,6 +105,14 @@ class CrawlConfig:
     validate: bool = True  # decode/phash/caption checks on every fetched row
     default_budget: int = politeness.DEFAULT_BUDGET
     collect_stats: bool = True  # False → skip non-essential per-epoch counts
+    # fetch-join strategy (sources/bucketed.py): "broadcast" | "bucketed" |
+    # "auto" (auto = broadcast while the admitted set stays under
+    # broadcast_fetch_max rows, bucketed beyond — requires the bucketed_*
+    # tables to have been ingested via sources.bucketed.write_bucketed_world)
+    fetch_join: str = "auto"
+    broadcast_fetch_max: int = 2_000_000
+    bucketed_linkgraph: str | None = None
+    bucketed_images: str | None = None
     stats: list = field(default_factory=list)
 
 
@@ -135,7 +146,7 @@ def cleanup_uncommitted(cfg: CrawlConfig) -> None:
     one whenever a seed is disallowed."""
     done = set(committed_epochs(cfg))
     nxt = (max(done) + 1) if done else 0
-    for sub in ("pages", "seen", "lineage"):
+    for sub in ("pages", "seen", "lineage", "hosttokens"):
         for d in glob.glob(_p(cfg, sub, "epoch=*")):
             e = int(d.rsplit("=", 1)[1])
             if e < 0 or e in done:
@@ -227,23 +238,68 @@ def run_epoch(
     eligible = frontier.filter(F.col("eligible_epoch") <= epoch)
     carry = frontier.filter(F.col("eligible_epoch") > epoch)
 
-    admitted, deferred = politeness.admit_per_host(
-        eligible, robots, cfg.n_salts, cfg.default_budget
+    # ---- token-bucket accrual (U6): unspent tokens from the previous
+    # epoch carry over, capped at burst x budget; persisted per epoch so
+    # resume reproduces the exact admission sequence ----
+    tokens = None
+    if cfg.token_carryover:
+        prev_tokens = (
+            _read_or_none(spark, _p(cfg, "hosttokens", f"epoch={epoch - 1}"))
+            if epoch > 0
+            else None
+        )
+        tokens = politeness.accrue_tokens(
+            robots, prev_tokens, cfg.burst_factor
+        ).persist()
+
+    admitted, _ = politeness.admit_per_host(
+        eligible, robots, cfg.n_salts, cfg.default_budget, tokens
     )
-    admitted = admitted.persist()
-    n_admitted = admitted.count()  # also materializes before the fetch join
+    # Per-epoch counts ride Observations attached to the plans the epoch
+    # already executes — zero extra driver actions (each count() was a
+    # full serial job; at 4x cores those serial seconds are exactly the
+    # Amdahl fraction the scaling gate pays for).
+    obs_admitted = Observation()
+    admitted = admitted.observe(
+        obs_admitted, F.count(F.lit(1)).alias("n")
+    ).persist()
+    # deferred anti-joins the PERSISTED admitted (cache hit), against the
+    # raw eligible input — the robots/window chain is never recomputed
+    deferred = politeness.deferred_of(eligible, admitted)
+
+    # the auto fetch-join choice is the one consumer that needs the
+    # admitted count BEFORE the join is built — only then pay an eager
+    # count (it doubles as cache materialization, so it isn't wasted)
+    n_admitted = -1
+    if cfg.fetch_join == "auto" and cfg.bucketed_linkgraph is not None:
+        n_admitted = admitted.count()
     mark("admit")
 
     # ---- fetch: lookup into the synthetic world (S2) ----
     # The admitted set is politeness-bounded (budget x hosts per epoch), so
-    # it is the small side by construction: broadcast it and STREAM the
-    # multi-GB image store — a SortMergeJoin here would shuffle the whole
-    # binary table every epoch (measured as the dominant cost). The 404
-    # path is a separate anti-join against the pruned url column.
+    # it is normally the small side: broadcast it and STREAM the multi-GB
+    # image store — a shuffling SortMergeJoin here would move the whole
+    # binary table every epoch (measured as the dominant cost). When the
+    # admitted set outgrows broadcast (hosts x budget beyond
+    # broadcast_fetch_max — 10^7+ hosts at the design point), switch to
+    # the BUCKETED join: linkgraph/images were bucketed on their join keys
+    # at ingest (sources/bucketed.py), so the SortMergeJoin exchanges ONLY
+    # the admitted side; the bucketed side never shuffles.
+    use_bucketed = cfg.fetch_join == "bucketed" or (
+        cfg.fetch_join == "auto"
+        and cfg.bucketed_linkgraph is not None
+        and n_admitted > cfg.broadcast_fetch_max
+    )
     adm = admitted.withColumn("page_id", page_id(F.col("url")))
     lg = linkgraph.withColumnRenamed("priority", "_lg_priority")
     missing = adm.join(lg.select("url"), "url", "left_anti")  # 404 analog
-    fetched = F.broadcast(adm).join(lg, "url", "inner").withColumn(
+    if use_bucketed:
+        # hint("merge") pins SortMergeJoin so AQE cannot re-broadcast the
+        # (large) admitted side; the bucketed scan side carries no Exchange
+        fetched = adm.join(lg.hint("merge"), "url", "inner")
+    else:
+        fetched = F.broadcast(adm).join(lg, "url", "inner")
+    fetched = fetched.withColumn(
         "fail_attempts", fail_attempts_expr(F.col("page_id"))
     )
     failing = fetched.filter(F.col("attempt") < F.col("fail_attempts"))
@@ -263,19 +319,21 @@ def run_epoch(
     )
 
     # ---- extract + validate payload (U4/U5) ----
-    pages = F.broadcast(
-        success.select(
-            "url_hash",
-            "url",
-            "host",
-            "host_bucket",
-            "priority",
-            "discovery_time",
-            "host_rank",
-            "page_id",
-            "image_id",
-        )
-    ).join(images, "image_id", "inner")
+    success_keys = success.select(
+        "url_hash",
+        "url",
+        "host",
+        "host_bucket",
+        "priority",
+        "discovery_time",
+        "host_rank",
+        "page_id",
+        "image_id",
+    )
+    if use_bucketed:
+        pages = success_keys.join(images.hint("merge"), "image_id", "inner")
+    else:
+        pages = F.broadcast(success_keys).join(images, "image_id", "inner")
     pages = pages.select(
         "url_hash",
         "url",
@@ -293,8 +351,15 @@ def run_epoch(
     )
     if cfg.validate:
         pages = validate_images(pages)
-    pages = pages.drop("bytes").withColumn("fetch_epoch", F.lit(epoch)).persist()
-    n_fetched = pages.count()
+    obs_pages = Observation()
+    pages = (
+        pages.drop("bytes")
+        .withColumn("fetch_epoch", F.lit(epoch))
+        # schema v2 (migrations.py): caption token count written natively
+        .withColumn("caption_tokens", TXT.token_count(F.col("caption")).cast("int"))
+        .observe(obs_pages, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     mark("fetch_validate")
     discovered = make_frontier_rows(
         discovered_urls, cfg, discovery_time=epoch + 1, eligible_epoch=epoch + 1
@@ -320,8 +385,12 @@ def run_epoch(
         .unionByName(as_seen(missing, "missing"))
         .unionByName(as_seen(disallowed_new, "disallowed"))
     )
-    resolved = resolved.dropDuplicates(["url_hash"]).persist()
-    n_resolved = resolved.count()
+    obs_resolved = Observation()
+    resolved = (
+        resolved.dropDuplicates(["url_hash"])
+        .observe(obs_resolved, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     mark("resolve")
 
     # ---- next frontier: carry ∪ deferred ∪ retries ∪ discovered ----
@@ -399,6 +468,25 @@ def run_epoch(
         lambda: pages.write.mode("overwrite").parquet(
             _p(cfg, "pages", f"epoch={epoch}")
         ),
+    ]
+    if tokens is not None:
+        # new carry = accrued available - admitted spend, per robots host
+        spent = admitted.groupBy("host").agg(F.count(F.lit(1)).alias("_spent"))
+        new_carry = (
+            tokens.join(spent, "host", "left")
+            .select(
+                "host",
+                (F.col("available") - F.coalesce(F.col("_spent"), F.lit(0)))
+                .cast("int")
+                .alias("carry"),
+            )
+        )
+        tasks.append(
+            lambda: new_carry.write.mode("overwrite").parquet(
+                _p(cfg, "hosttokens", f"epoch={epoch}")
+            )
+        )
+    tasks += [
         lambda: resolved.write.mode("overwrite").parquet(
             _p(cfg, "seen", f"epoch={epoch}")
         ),
@@ -417,11 +505,13 @@ def run_epoch(
             f.result()  # propagate failures BEFORE the commit marker
     mark("writes")
 
+    # observation reads block until their plan has executed once — all
+    # three executed inside the write jobs above, so these are lookups
     stats = {
         "epoch": epoch,
-        "admitted": n_admitted,
-        "fetched": n_fetched,
-        "resolved": n_resolved,
+        "admitted": int(obs_admitted.get["n"]) if n_admitted < 0 else n_admitted,
+        "fetched": int(obs_pages.get["n"]),
+        "resolved": int(obs_resolved.get["n"]),
         "frontier_next": n_next,
         "duration_s": round(time.perf_counter() - t0, 3),
         "phases": phases,
@@ -429,6 +519,8 @@ def run_epoch(
     with open(_commit_path(cfg, epoch), "w") as f:
         json.dump(stats, f)
     admitted.unpersist()
+    if tokens is not None:
+        tokens.unpersist()
     success.unpersist()
     pages.unpersist()
     resolved.unpersist()
@@ -479,12 +571,23 @@ def crawl(
     # are EXTRACTED, not read from the pre-structured out_links column,
     # which exists only as test ground truth) — don't cache what the
     # crawl never reads.
-    lg = (
-        spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
-        .select("url", "image_id", "html", "priority")
-        .persist()
-    )
-    im = spark.read.parquet(os.path.join(cfg.world_dir, "images"))
+    if cfg.bucketed_linkgraph is not None:
+        # bucketed scans must come from the catalog table (bucket metadata
+        # lives in the metastore) and must NOT be persisted — caching
+        # would hide the bucketed output partitioning from the join
+        lg = spark.table(cfg.bucketed_linkgraph).select(
+            "url", "image_id", "html", "priority"
+        )
+    else:
+        lg = (
+            spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
+            .select("url", "image_id", "html", "priority")
+            .persist()
+        )
+    if cfg.bucketed_images is not None:
+        im = spark.table(cfg.bucketed_images)
+    else:
+        im = spark.read.parquet(os.path.join(cfg.world_dir, "images"))
     rb = spark.read.parquet(os.path.join(cfg.world_dir, "robots"))
 
     start_epoch = 0

@@ -1173,6 +1173,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_lsh_pairs_fast")  # no oracle: xxhash64 is Spark-specific
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE MinHash-LSH path: identical plan shape to
+    minhash_lsh_pairs but hashed with the xxhash64 JVM intrinsic instead
+    of the oracle-portable md5 arithmetic (~3x hash cost). Benched
+    alongside the portable variant so the headline reflects production
+    (VERDICT r1 item 10); correctness rides the oracle-paired twin —
+    only the hash function differs (operators/dedup.py:39)."""
+    from whakoom_webscrapper_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, n_perms=N_PERMS, shingle_k=3, portable=False)
+    return D.lsh_candidate_pairs(sig, band_rows=BAND_ROWS)
+
+
 # ---------------------------------------------------------------------------
 # SimHash family (near-dup by sign-of-votes hash; operators/dedup.py).
 # 32-bit portable variant so the oracle reproduces every bit.
