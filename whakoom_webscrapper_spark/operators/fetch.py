@@ -71,8 +71,15 @@ def validate_images(fetched: DataFrame, featurize: bool = True) -> DataFrame:
     image embedding (imaging.features64 — the feature-extract stage of
     the training-data pipeline). Input needs columns
     (page_id, bytes, fmt, phash, caption); output appends
-    VALIDATION_COLUMNS. One Arrow batch in, one out."""
-    out_schema = T.StructType(fetched.schema.fields + VALIDATION_COLUMNS)
+    VALIDATION_COLUMNS and DROPS ``bytes``: the binary payload is
+    consumed here — returning it through Arrow would move the whole
+    multi-GB image column Python→JVM a second time per epoch just for a
+    downstream .drop (measured ~6 GB/epoch at bench scale; column
+    pruning cannot reach inside a mapInPandas)."""
+    out_schema = T.StructType(
+        [f for f in fetched.schema.fields if f.name != "bytes"]
+        + VALIDATION_COLUMNS
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,7 +123,7 @@ def validate_images(fetched: DataFrame, featurize: bool = True) -> DataFrame:
                     cap_ok.append(False)
                     embs.append(None)
             ms = (time.perf_counter() - t0) * 1000.0 / max(len(pdf), 1)
-            out = pdf.copy()
+            out = pdf.drop(columns=["bytes"])
             out["phash_recomputed"] = pd.array(rec, dtype="Int64")
             out["phash_hamming"] = pd.array(hams, dtype="Int32")
             out["phash_match"] = match

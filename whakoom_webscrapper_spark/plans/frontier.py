@@ -350,11 +350,12 @@ def run_epoch(
         "bytes",
     )
     if cfg.validate:
-        pages = validate_images(pages)
+        pages = validate_images(pages)  # consumes (and drops) bytes
+    else:
+        pages = pages.drop("bytes")
     obs_pages = Observation()
     pages = (
-        pages.drop("bytes")
-        .withColumn("fetch_epoch", F.lit(epoch))
+        pages.withColumn("fetch_epoch", F.lit(epoch))
         # schema v2 (migrations.py): caption token count written natively
         .withColumn("caption_tokens", TXT.token_count(F.col("caption")).cast("int"))
         .observe(obs_pages, F.count(F.lit(1)).alias("n"))
@@ -579,9 +580,16 @@ def crawl(
             "url", "image_id", "html", "priority"
         )
     else:
+        # repartition before persist: the parquet scan bin-packs the small
+        # linkgraph into ~defaultParallelism splits, and every downstream
+        # per-epoch stage (fetch join output, html-extraction UDF) inherits
+        # that parallelism — pinning it to frontier_partitions keeps the
+        # extraction stage fully parallel at any core count (one 140 MB
+        # shuffle, paid once at first materialization)
         lg = (
             spark.read.parquet(os.path.join(cfg.world_dir, "linkgraph"))
             .select("url", "image_id", "html", "priority")
+            .repartition(cfg.frontier_partitions, "url")
             .persist()
         )
     if cfg.bucketed_images is not None:
