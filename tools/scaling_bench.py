@@ -140,6 +140,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--out", default="/tmp/scalebench")
     ap.add_argument("--masters", nargs=2, default=["local[8]", "local[32]"])
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="repetitions, interleaved small/big to decorrelate "
+                         "shared-host drift; efficiency reported as the "
+                         "median of per-repetition ratios")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -162,27 +166,44 @@ def main() -> None:
             raise RuntimeError(f"world gen failed:\n{gen.stderr[-2000:]}")
 
     small_master, big_master = args.masters
-    r_small = run_crawl(args, small_master, small_master.replace("[", "_").replace("]", ""))
-    r_big = run_crawl(args, big_master, big_master.replace("[", "_").replace("]", ""))
-
     n_small = int(small_master.split("[")[1].rstrip("]"))
     n_big = int(big_master.split("[")[1].rstrip("]"))
+
+    # Interleave A/B within each repetition so slow drift in shared-host
+    # load hits both sides of a ratio, not just one; identical row counts
+    # across every run re-verify determinism each repetition.
+    runs = []
+    for rep in range(args.repeat):
+        r_small = run_crawl(args, small_master,
+                            small_master.replace("[", "_").replace("]", ""))
+        r_big = run_crawl(args, big_master,
+                          big_master.replace("[", "_").replace("]", ""))
+        assert r_small["fetched"] == r_big["fetched"], "nondeterminism!"
+        eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
+        runs.append({"rep": rep, small_master: r_small, big_master: r_big,
+                     "efficiency": round(eff, 3)})
+        print(f"rep {rep}: eff={eff:.3f} "
+              f"({r_small['urls_per_sec']} vs {r_big['urls_per_sec']} urls/s)",
+              file=sys.stderr)
+
+    effs = sorted(r["efficiency"] for r in runs)
+    eff = effs[len(effs) // 2]
     ceiling = machine_ceiling(n_small, n_big)
-    eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
     result = {
         "machine_ceiling_control": ceiling,
         "efficiency_vs_ceiling": round(
             eff / max(ceiling["ceiling_efficiency"], 1e-9), 3
         ),
-        "protocol": "same job, same world, fresh state, separate JVMs",
+        "protocol": "same job, same world, fresh state, separate JVMs; "
+                    f"median of {args.repeat} interleaved repetitions",
         "world": {
             "n_urls": args.n_urls, "hosts": args.hosts, "fanout": args.fanout,
             "seeds": args.seeds, "budget_scale": args.budget_scale,
             "max_epochs": args.max_epochs,
         },
-        small_master: r_small,
-        big_master: r_big,
-        "scaling_efficiency": round(eff, 3),
+        "runs": runs,
+        "efficiencies": effs,
+        "scaling_efficiency": eff,
         "target": 0.8,
     }
     print(json.dumps(result, indent=2))

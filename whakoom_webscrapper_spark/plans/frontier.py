@@ -544,12 +544,14 @@ def init_state(spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame, robots: 
     frontier0, disallowed = politeness.apply_robots(frontier0, robots)
     frontier0 = dedup_frontier(frontier0)
     frontier0.write.mode("overwrite").parquet(_p(cfg, "frontier", "epoch=0"))
-    if disallowed.limit(1).count():
-        disallowed.select(
-            "url_hash", "url", F.lit("disallowed").alias("status")
-        ).dropDuplicates(["url_hash"]).write.mode("overwrite").parquet(
-            _p(cfg, "seen", "epoch=-1")
-        )
+    # written unconditionally: an empty seen/epoch=-1 is harmless on read,
+    # and the existence pre-check was a whole extra job re-running the
+    # robots-join chain (measured seconds of serial driver time)
+    disallowed.select(
+        "url_hash", "url", F.lit("disallowed").alias("status")
+    ).dropDuplicates(["url_hash"]).write.mode("overwrite").parquet(
+        _p(cfg, "seen", "epoch=-1")
+    )
 
 
 def crawl(
