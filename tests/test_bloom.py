@@ -8,6 +8,8 @@ import numpy as np
 from whakoom_webscrapper_spark.operators.bloom import (
     Bloom,
     ShardedBloom,
+    add_keys_distributed,
+    add_keys_local,
     build_bloom,
 )
 
@@ -92,3 +94,26 @@ def test_distributed_build_matches_local(spark):
     local.add_many(keys)
     for b_dist, b_loc in zip(bloom.shards, local.shards):
         assert np.array_equal(b_dist.words, b_loc.words)
+
+
+def test_incremental_distributed_fold_matches_rebuild(spark):
+    """The crawl's per-epoch fold (add_keys_distributed on each epoch's
+    slice) must equal a from-scratch rebuild over the union AND the
+    driver-side local fold, bit for bit — same sizing → same positions."""
+    e0 = spark.range(0, 3000, 1, 8).selectExpr("xxhash64(id) as url_hash")
+    e1 = spark.range(3000, 7000, 1, 8).selectExpr("xxhash64(id) as url_hash")
+    both = e0.unionByName(e1)
+
+    inc = ShardedBloom.sized_for(7000, 0.01, n_shards=8)
+    add_keys_distributed(inc, e0, "url_hash")
+    add_keys_distributed(inc, e1, "url_hash")
+
+    rebuilt = build_bloom(
+        both, "url_hash", ShardedBloom.sized_for(7000, 0.01, n_shards=8)
+    )
+    loc = ShardedBloom.sized_for(7000, 0.01, n_shards=8)
+    add_keys_local(loc, both, "url_hash")
+
+    for b_inc, b_re, b_loc in zip(inc.shards, rebuilt.shards, loc.shards):
+        assert np.array_equal(b_inc.words, b_re.words)
+        assert np.array_equal(b_inc.words, b_loc.words)

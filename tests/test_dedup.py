@@ -1,0 +1,68 @@
+"""MinHash production-path invariants (operators/dedup.py).
+
+The portable md5 twin is pinned bit-exact by the DuckDB oracle
+(queries.py:minhash_signatures). The xxhash64+affine production path has
+no SQL oracle, so its contract is tested here: signature shape, value
+range, determinism, and — the property that matters — LSH over the fast
+signatures finds the planted near-dup pairs that the portable path finds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from whakoom_webscrapper_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "completely different text about spark shuffle partitions and joins"),
+    (3, "completely different text about spark shuffle partitions and joins"),
+    (4, "unrelated third document mentioning bloom filters and url frontiers"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_fast_signatures_shape_and_range(spark):
+    sig = D.minhash_signatures(_docs(spark), n_perms=8, portable=False)
+    rows = sig.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["perm"])
+        assert 0 <= r["minhash"] < D.MINHASH_PRIME
+    assert all(perms == set(range(8)) for perms in per_doc.values())
+
+
+def test_fast_signatures_deterministic(spark):
+    a = sorted(map(tuple, D.minhash_signatures(_docs(spark), portable=False).collect()))
+    b = sorted(map(tuple, D.minhash_signatures(_docs(spark), portable=False).collect()))
+    assert a == b
+
+
+def test_fast_lsh_finds_planted_pairs(spark):
+    """Exact dups MUST pair under any hash; the near-dup (0,1) pair must
+    be found by the fast path wherever the portable path finds it (same
+    banding, both are uniform hashes of the same shingle sets)."""
+    docs = _docs(spark)
+    fast = D.lsh_candidate_pairs(
+        D.minhash_signatures(docs, portable=False), band_rows=2
+    )
+    pairs_fast = {(r["id_a"], r["id_b"]) for r in fast.collect()}
+    assert (2, 3) in pairs_fast  # exact dup: identical signatures always band
+    portable = D.lsh_candidate_pairs(
+        D.minhash_signatures(docs, portable=True), band_rows=2
+    )
+    pairs_portable = {(r["id_a"], r["id_b"]) for r in portable.collect()}
+    assert (2, 3) in pairs_portable
+    # no false pairs against the unrelated doc under either hash
+    assert not any(4 in p for p in pairs_fast)
+
+
+def test_affine_params_distinct_and_in_range():
+    a, b = D._affine_params(16)
+    assert len(set(zip(a, b))) == 16
+    assert all(1 <= x < D.MINHASH_PRIME for x in a)
+    assert all(0 <= x < D.MINHASH_PRIME for x in b)

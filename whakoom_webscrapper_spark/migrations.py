@@ -75,7 +75,17 @@ def _swap_table(df: DataFrame, path: str, partition_col: str | None) -> None:
 
 
 def _gc_tmp_dirs(state_dir: str) -> None:
-    """Remove leftovers of interrupted migration attempts."""
+    """Remove leftovers of interrupted migration attempts.
+
+    Crash-recovery invariant: if a crash landed between _swap_table's two
+    renames, the ORIGINAL table exists only as ``<table>__mig_old_*`` —
+    deleting it would be silent permanent loss (the next up() would see no
+    table and record a vacuous success). So: restore any orphaned
+    ``__mig_old_*`` whose base path is missing; only then GC."""
+    for d in glob.glob(os.path.join(state_dir, "*__mig_old_*")):
+        base = d.rsplit("__mig_old_", 1)[0]
+        if not os.path.exists(base):
+            os.rename(d, base)
     for d in glob.glob(os.path.join(state_dir, "*__mig_tmp_*")) + glob.glob(
         os.path.join(state_dir, "*__mig_old_*")
     ):
@@ -185,6 +195,10 @@ def rollback(spark: SparkSession, state_dir: str, to_version: int) -> list[int]:
         _gc_tmp_dirs(state_dir)
         mig.down(spark, state_dir)
         _record_applied(state_dir, mig, "down")
-        catalog.write_version(state_dir, v - 1)
+        # stamp the next-LOWER registered version (not v-1): with a gapped
+        # registry (e.g. v2 and v4) rolling back v4 must land on v2, never
+        # on an undefined v3 that would corrupt later pending computations
+        prev = max((u for u in MIGRATIONS if u < v), default=1)
+        catalog.write_version(state_dir, max(prev, to_version))
         rolled.append(v)
     return rolled

@@ -175,15 +175,14 @@ _BLOOM_ROW_SCHEMA = T.StructType(
 )
 
 
-def build_bloom(
-    df: DataFrame, key_col: str, template: ShardedBloom
-) -> ShardedBloom:
-    """Distributed (re)build: each partition builds sub-bitmaps PER SHARD with
-    mapInPandas (one row per (partition, shard) actually touched), the
-    driver OR-merges per shard. Transfer is Σ touched-shard bitmaps — at
-    the design point each shard row is m/B bits, so no single transfer
-    object exceeds the shard size. Used only on resume; per-epoch updates
-    go through the incremental ``add_keys_local`` fold."""
+def _shard_bitmap_rows(df: DataFrame, key_col: str, template: ShardedBloom) -> list:
+    """Distributed map phase shared by ``build_bloom`` and
+    ``add_keys_distributed``: each partition builds sub-bitmaps PER SHARD
+    with mapInPandas (one row per (partition, shard) actually touched) and
+    ships only those bitmaps to the driver. Transfer is Σ touched-shard
+    bitmaps — at the design point each shard row is m/B bits, so no single
+    transfer object exceeds the shard size, and (unlike a raw-key
+    collect) the total is bounded by the filter size, not by |keys|."""
     n_shards = template.n_shards
     sizing = [(s.m_bits, s.k) for s in template.shards]
 
@@ -210,22 +209,49 @@ def build_bloom(
                 ]
             )
 
-    rows = df.select(key_col).mapInPandas(per_partition, _BLOOM_ROW_SCHEMA).collect()
+    return df.select(key_col).mapInPandas(per_partition, _BLOOM_ROW_SCHEMA).collect()
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, template: ShardedBloom
+) -> ShardedBloom:
+    """Distributed (re)build from scratch (used on resume): map-side
+    per-shard bitmaps, driver OR-merge per shard."""
+    sizing = [(s.m_bits, s.k) for s in template.shards]
     merged = ShardedBloom(
-        n_shards, [Bloom(m, k) for m, k in sizing]
+        template.n_shards, [Bloom(m, k) for m, k in sizing]
     )
+    return _merge_shard_rows(merged, _shard_bitmap_rows(df, key_col, template))
+
+
+def _merge_shard_rows(bloom: ShardedBloom, rows: list) -> ShardedBloom:
+    sizing = [(s.m_bits, s.k) for s in bloom.shards]
     for row in rows:
         b = row["shard"]
         m, k = sizing[b]
-        merged.shards[b].merge(Bloom.from_bytes(row["partition_bits"], m, k))
-    return merged
+        bloom.shards[b].merge(Bloom.from_bytes(row["partition_bits"], m, k))
+    return bloom
+
+
+def add_keys_distributed(
+    bloom: ShardedBloom, df: DataFrame, key_col: str
+) -> ShardedBloom:
+    """Incremental epoch fold, distributed: executors hash the epoch's
+    resolved keys into per-shard bitmaps; the driver OR-merges only the
+    touched shards into the live filter. Bit-exact identical to hashing
+    the same keys driver-side (same sizing → same positions), but the
+    driver transfer is bounded by the FILTER size instead of O(|keys|) —
+    at the 10^10-URL design point an epoch can resolve ~10^8 keys
+    (~1 GB as raw int64s through the driver, every epoch); shard bitmaps
+    cap that at Σ touched-shard bytes regardless of key count."""
+    return _merge_shard_rows(bloom, _shard_bitmap_rows(df, key_col, bloom))
 
 
 def add_keys_local(bloom: ShardedBloom, df: DataFrame, key_col: str) -> ShardedBloom:
-    """Incremental epoch update: fold this epoch's (politeness-bounded,
-    small) key set into the sharded filter driver-side — only the touched
-    shards mutate; no rebuild scan. Arrow-path toPandas: ~20x faster than
-    row-object collect() for the driver-side transfer."""
+    """Incremental fold, driver-side (small-input fast path for ad-hoc /
+    test use): one Arrow toPandas of the raw keys, vectorized add. Crawl
+    epochs use ``add_keys_distributed`` — this variant's O(|keys|) driver
+    transfer does not survive the 10^10 design point."""
     pdf = df.select(key_col).toPandas()
     bloom.add_many(pdf[key_col].values.astype(np.int64))
     return bloom

@@ -62,6 +62,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne: a*h+b stays < 2^62 (ANSI-safe)
+
+
+def _affine_params(n_perms: int) -> tuple[list[int], list[int]]:
+    """Deterministic per-permutation affine constants (a_i, b_i) for
+    minhash permutations h_i(x) = (a_i * h(x) + b_i) mod P — fixed LCG
+    stream, no RNG state, reproducible everywhere."""
+    a, b = [], []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(n_perms):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a.append(1 + x % (MINHASH_PRIME - 1))
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b.append(x % MINHASH_PRIME)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -70,25 +87,64 @@ def minhash_signatures(
     shingle_k: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """(id, perm, minhash) rows — flat plan: explode distinct shingles,
-    cross with perm ids, min-aggregate. See queries.py:minhash_signatures
-    for the oracle-pinned variant."""
-    h = portable_hash if portable else fast_hash
+    """(id, perm, minhash) rows.
+
+    Production path (portable=False): each distinct shingle is hashed
+    ONCE (xxhash64, JVM intrinsic), the N permutation values are affine
+    transforms ``(a_i·h + b_i) mod P`` in pure int arithmetic, and all N
+    mins ride ONE hash-aggregate over the un-exploded shingle rows —
+    no per-perm row multiplication, no per-perm string concat (the 8×
+    string traffic was the measured bottleneck, VERDICT r2). The wide
+    aggregate then unpivots to the (id, perm, minhash) shape.
+
+    Portable path (portable=True): per-(perm, shingle) md5 string hash,
+    kept bit-reproducible for the DuckDB oracle twin
+    (queries.py:minhash_signatures)."""
     sh = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
         ).alias("_sh"),
     )
-    exploded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("_p"),
-        "_sh",
-    ).select(id_col, F.col("_p").cast("long").alias("perm"), "_sh")
-    return exploded.groupBy(id_col, "perm").agg(
-        F.min(
-            h(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("_sh")))
-        ).alias("minhash")
+    if portable:
+        exploded = sh.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("_p"),
+            "_sh",
+        ).select(id_col, F.col("_p").cast("long").alias("perm"), "_sh")
+        return exploded.groupBy(id_col, "perm").agg(
+            F.min(
+                portable_hash(
+                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("_sh"))
+                )
+            ).alias("minhash")
+        )
+    P = MINHASH_PRIME
+    a, b = _affine_params(n_perms)
+    hashed = sh.select(
+        id_col, F.pmod(F.xxhash64(F.col("_sh")), F.lit(P)).alias("_h")
+    )
+    wide = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a[p]) * F.col("_h") + F.lit(b[p]), F.lit(P))
+            ).alias(f"_mh{p}")
+            for p in range(n_perms)
+        ]
+    )
+    pm = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("perm"),
+                    F.col(f"_mh{p}").alias("minhash"),
+                )
+                for p in range(n_perms)
+            ]
+        )
+    ).alias("_pm")
+    return wide.select(id_col, pm).select(
+        id_col, F.col("_pm.perm").alias("perm"), F.col("_pm.minhash").alias("minhash")
     )
 
 

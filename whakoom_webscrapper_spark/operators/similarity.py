@@ -94,6 +94,12 @@ def brute_force_topk(
 def _hamming_ball(radius: int, n_bits: int) -> list[int]:
     """XOR masks of every bucket within Hamming distance ``radius``
     (radius ≤ 2 supported — beyond that add tables instead)."""
+    if radius > 2:
+        raise ValueError(
+            f"probe_radius={radius} unsupported (max 2); raise n_tables "
+            "instead — silently probing a smaller ball would understate "
+            "the requested recall operating point"
+        )
     masks = [0]
     if radius >= 1:
         masks += [1 << j for j in range(n_bits)]

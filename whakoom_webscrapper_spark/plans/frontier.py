@@ -62,7 +62,7 @@ from whakoom_webscrapper_spark.functions import urls as U
 from whakoom_webscrapper_spark.operators import extract, politeness
 from whakoom_webscrapper_spark.operators.bloom import (
     ShardedBloom,
-    add_keys_local,
+    add_keys_distributed,
     build_bloom,
     prefilter_maybe_seen,
 )
@@ -499,7 +499,10 @@ def run_epoch(
         ),
     ]
     if bloom is not None:
-        tasks.append(lambda: add_keys_local(bloom, resolved, "url_hash"))
+        # distributed fold: executors hash the resolved keys into per-shard
+        # bitmaps (reads the persisted `resolved`, so it overlaps the seen
+        # write); driver transfer is bounded by filter size, not key count
+        tasks.append(lambda: add_keys_distributed(bloom, resolved, "url_hash"))
     with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
         futures = [ex.submit(t) for t in tasks]
         for f in futures:

@@ -34,11 +34,32 @@ def _drop_if_exists(spark: SparkSession, table: str) -> None:
     """Drop the table AND its managed location — an in-memory catalog
     forgets tables across sessions but the warehouse directory persists,
     which would fail the next saveAsTable with LOCATION_ALREADY_EXISTS."""
+    # resolve the real location from the catalog BEFORE dropping — a table
+    # in a non-default database lives at <warehouse>/<db>.db/<table>, so a
+    # hand-built <warehouse>/<table> path would miss it and the next
+    # saveAsTable would still hit LOCATION_ALREADY_EXISTS
+    loc = None
+    try:
+        tbl = spark.catalog.getTable(table)
+        db = tbl.namespace[0] if tbl.namespace else "default"
+        row = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{tbl.name}").where(
+            "col_name = 'Location'"
+        ).collect()
+        if row:
+            loc = row[0]["data_type"].replace("file:", "")
+    except Exception:
+        pass  # table not in catalog — fall back to the conventional path
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).replace("file:", "")
-    loc = os.path.join(warehouse, table.split(".")[-1])
+    parts = table.split(".")
+    if loc is None:
+        loc = (
+            os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+            if len(parts) > 1 and parts[-2] != "default"
+            else os.path.join(warehouse, parts[-1])
+        )
     if os.path.exists(loc):
         shutil.rmtree(loc, ignore_errors=True)
 
