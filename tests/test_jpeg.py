@@ -1,0 +1,91 @@
+"""Baseline JPEG codec internals (whakoom_webscrapper_spark/jpeg.py).
+
+The codec is the real lossy path of the image+caption table (north-rule
+per-row invariant: PSNR>=40 dB for lossy, BASELINE.json:15; reference
+cover-image touchpoint: 001_initial_schema.sql:84-85). These tests pin
+the format-level invariants the dispatch-level tests in test_imaging.py
+don't reach: padding for non-multiple-of-8 dims, determinism, quality
+monotonicity, and the entropy-stream framing (byte stuffing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from whakoom_webscrapper_spark import imaging, jpeg
+
+
+def _img(w: int, h: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 3 + y * 2) % 200
+    return np.clip(
+        base[:, :, None] + rng.integers(-10, 10, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "w,h",
+    [(8, 8), (16, 16), (17, 9), (31, 64), (64, 31), (160, 160), (9, 160)],
+)
+def test_roundtrip_shapes_and_gate(w, h):
+    """Edge-padded blocks must not leak into the cropped output, and the
+    gate holds at every (odd, tiny, rectangular) geometry."""
+    px = _img(w, h, seed=w * 1000 + h)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+    assert out.shape == (h, w, 3)
+    assert imaging.psnr(px, out) >= 40.0
+
+
+def test_encode_deterministic():
+    px = _img(40, 24, seed=5)
+    assert jpeg.encode_jpeg(px) == jpeg.encode_jpeg(px)
+
+
+def test_quality_monotonic_in_size():
+    px = _img(96, 96, seed=11)
+    sizes = [len(jpeg.encode_jpeg(px, quality=q)) for q in (60, 80, 95)]
+    assert sizes == sorted(sizes)
+
+
+def test_byte_stuffing_roundtrip():
+    """A stream dense enough to contain literal 0xFF entropy bytes must
+    unstuff cleanly (0xFF00 -> 0xFF) — exercised by noise at max quality."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(px, quality=100)
+    # entropy body between SOS payload start and EOI
+    assert b"\xff\x00" in data  # stuffed bytes actually present
+    out = jpeg.decode_jpeg(data)
+    assert imaging.psnr(px, out) >= 40.0
+
+
+def test_flat_image_compresses_hard():
+    """All-EOB path: a constant image is almost pure DC — the stream
+    should be tiny and decode exactly flat."""
+    px = np.full((64, 64, 3), 130, dtype=np.uint8)
+    data = jpeg.encode_jpeg(px)
+    assert len(data) < 2000
+    out = jpeg.decode_jpeg(data)
+    assert int(np.abs(out.astype(int) - 130).max()) <= 2
+
+
+def test_zigzag_is_involution():
+    assert (jpeg._ZIGZAG[jpeg._UNZIGZAG] == np.arange(64)).all()
+    # spec spot-checks: zigzag position 1 is (0,1), position 2 is (1,0)
+    assert jpeg._ZIGZAG[1] == 1 and jpeg._ZIGZAG[2] == 8
+
+
+def test_decode_rejects_non_jpeg():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_zrl_long_run_roundtrip():
+    """A sparse high-frequency spike forces >15-zero runs (ZRL symbols)
+    through the encoder and back."""
+    px = np.full((32, 32, 3), 90, dtype=np.uint8)
+    px[::8, ::8] = 250  # one hot pixel per block corner
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
+    assert imaging.psnr(px, out) >= 40.0

@@ -94,8 +94,11 @@ def test_png_roundtrip_any_size(w, h, seed):
     h=st.integers(min_value=16, max_value=64),
     seed=st.integers(min_value=0, max_value=2**31),
 )
-def test_fjpg_psnr_gate_any_image(w, h, seed):
+def test_jpeg_psnr_gate_any_image(w, h, seed):
+    """Uniform white noise is the adversarial worst case for a DCT codec:
+    at the default quality (q98, near-unit quant steps) even that stays
+    over the 40 dB lossy gate, so any real image clears it with margin."""
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    out = imaging.decode_fjpg(imaging.encode_fjpg(px))
+    out = imaging.decode_image(imaging.encode_image(px, "jpeg"), "jpeg")
     assert imaging.psnr(px, out) >= 40.0

@@ -76,3 +76,56 @@ def test_feed_export_json_roundtrip(spark):
     assert {(r["k"], r["v"], r["status"]) for r in back.collect()} == {
         (1, "a", "s"), (2, "b", "t")
     }
+
+
+def test_upsert_parquet_recovers_half_swap(spark):
+    """Crash between the two renames leaves the table only under
+    __old_* — the next call must restore it, not treat the table as
+    empty (ADVICE r2: the migrations analog of this bug lost the table)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="upsert_"), "t")
+    UP.upsert_parquet(spark, path, _df(spark, [(1, "a", "s")]), ["k"])
+    os.rename(path, f"{path}__old_deadbeef")  # simulate the crash window
+    UP.upsert_parquet(spark, path, _df(spark, [(2, "b", "s")]), ["k"])
+    out = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "a"), (2, "b")}  # row 1 survived the crash
+
+
+def test_snapshot_upsert_merge_and_time_travel(spark):
+    tdir = os.path.join(tempfile.mkdtemp(prefix="snap_"), "t")
+    g1 = UP.snapshot_upsert(spark, tdir, _df(spark, [(1, "a", "s")]), ["k"])
+    g2 = UP.snapshot_upsert(
+        spark, tdir, _df(spark, [(1, "A", "s2"), (2, "b", "s")]), ["k"]
+    )
+    live = {(r["k"], r["v"]) for r in UP.snapshot_read(spark, tdir).collect()}
+    assert live == {(1, "A"), (2, "b")}
+    # time travel to the first retained snapshot
+    old = {(r["k"], r["v"]) for r in UP.snapshot_read(spark, tdir, at=g1).collect()}
+    assert old == {(1, "a")}
+    assert UP.snapshot_current(tdir).endswith(g2)
+
+
+def test_snapshot_upsert_gc_keeps_bounded_history(spark):
+    tdir = os.path.join(tempfile.mkdtemp(prefix="snap_"), "t")
+    for i in range(5):
+        UP.snapshot_upsert(
+            spark, tdir, _df(spark, [(i, f"v{i}", "s")]), ["k"], keep_snapshots=2
+        )
+    gens = UP.snapshot_list(tdir)
+    assert len(gens) == 2  # bounded history
+    # live data still has all 5 keys (history GC never touches the merge)
+    assert UP.snapshot_read(spark, tdir).count() == 5
+    # gen numbers stay strictly increasing even after GC
+    nums = [int(g.split("-")[1]) for g in gens]
+    assert nums == sorted(nums) and len(set(nums)) == 2
+
+
+def test_snapshot_pointer_crash_before_flip_is_invisible(spark):
+    """An unreferenced gen dir (crash after data write, before pointer
+    flip) must not change what readers see, and the next commit sweeps
+    it via normal GC."""
+    tdir = os.path.join(tempfile.mkdtemp(prefix="snap_"), "t")
+    UP.snapshot_upsert(spark, tdir, _df(spark, [(1, "a", "s")]), ["k"])
+    # simulate the orphan: data written, pointer never flipped
+    orphan = os.path.join(tdir, "gen-000099-orphan00")
+    _df(spark, [(9, "x", "s")]).write.parquet(orphan)
+    assert {(r["k"],) for r in UP.snapshot_read(spark, tdir).select("k").collect()} == {(1,)}

@@ -83,15 +83,32 @@ def caption_of(i: int) -> str:
 
 
 def pixels_of(i: int) -> np.ndarray:
+    """Band-limited synthetic cover art: gradient + bilinear-upsampled
+    low-res structure + mild per-pixel detail. Cover thumbnails are
+    natural images, not white noise — amplitude-64 uniform noise (the
+    round-1/2 content) has no spatial correlation and is the worst case
+    for any DCT codec, so it would mismeasure the real-JPEG decode cost
+    the bench now carries. Detail amplitude ±3 keeps the content's own
+    quantization-noise floor above the PSNR≥40 dB lossy gate
+    (uniform ±3 → var 3 → floor ≈ 43 dB even if the codec zeroes it)."""
     w, h = dims_of(i)
     rng = np.random.default_rng(GLOBAL_SEED * 1_000_003 + i)
-    # structured content (gradient + seeded noise) so pHash is non-degenerate;
-    # broadcasting arange instead of mgrid — same values, half the allocations
-    gx = (np.arange(w, dtype=np.int64) * 255) // max(w - 1, 1)
-    gy = (np.arange(h, dtype=np.int64) * 128) // max(h - 1, 1)
-    base = (gx[None, :] + gy[:, None]) % 256
-    noise = rng.integers(0, 64, size=(h, w, 3))
-    px = (base[:, :, None] + noise) % 256
+    gx = (np.arange(w, dtype=np.float64) * 120.0) / max(w - 1, 1)
+    gy = (np.arange(h, dtype=np.float64) * 60.0) / max(h - 1, 1)
+    base = gx[None, :] + gy[:, None]
+    # low-res noise grid, bilinearly upsampled 8x → smooth "art regions"
+    lo = rng.uniform(0, 120, size=(h // 8 + 2, w // 8 + 2, 3))
+    yy = np.arange(h) / 8.0
+    xx = np.arange(w) / 8.0
+    y0 = yy.astype(np.int64)
+    x0 = xx.astype(np.int64)
+    fy = (yy - y0)[:, None, None]
+    fx = (xx - x0)[None, :, None]
+    structure = (lo[y0][:, x0] * (1 - fy) + lo[y0 + 1][:, x0] * fy) * (
+        1 - fx
+    ) + (lo[y0][:, x0 + 1] * (1 - fy) + lo[y0 + 1][:, x0 + 1] * fy) * fx
+    detail = rng.uniform(-3.0, 3.0, size=(h, w, 3))
+    px = np.clip(base[:, :, None] + structure + detail + 20.0, 0, 255)
     return px.astype(np.uint8)
 
 

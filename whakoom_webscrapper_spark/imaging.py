@@ -6,18 +6,19 @@ rule upgrades this to real binary image columns with decode, pHash
 recomputation, and PSNR validation inside vectorized pandas UDFs
 (BASELINE.json:15).
 
-Container note: PIL/OpenCV are NOT available in this sandbox, so:
+Container note: PIL/OpenCV are NOT available in this sandbox, so both
+codecs are REAL and self-contained (pure numpy + stdlib):
 
-- ``png``  — a REAL, self-contained PNG codec (stdlib zlib + struct,
-  numpy row filters). Encodes 8-bit RGB with per-row filter 0; decodes
-  any 8-bit RGB/RGBA/gray PNG with filters 0-4. Lossless → exact pixel
-  equality oracle.
-- ``jpeg`` — a clearly-marked DETERMINISTIC STAND-IN for a lossy codec
-  ("FJPG"): uniform quantization (step 4) + zlib. It is NOT a real JPEG;
-  it exists so the lossy-format path (decode → PSNR≥40 dB allclose,
-  BASELINE.json:15) has real plumbing — schema, batching, UDF signature —
-  with a codec swap point (`decode_image`/`encode_image`) where a real
-  libjpeg binding would slot in.
+- ``png``  — stdlib zlib + struct, numpy row filters. Encodes 8-bit RGB
+  with per-row filter 0; decodes any 8-bit RGB/RGBA/gray PNG with
+  filters 0-4. Lossless → exact pixel equality oracle.
+- ``jpeg`` — a real baseline JFIF codec (``jpeg.py``): 8x8 block DCT,
+  Annex-K quantization, standard Huffman tables, zigzag RLE, 0xFF byte
+  stuffing — output decodes in any stock viewer. This retires the
+  round-1/2 "FJPG" stand-in; the lossy path (decode → PSNR≥40 dB,
+  BASELINE.json:15) now sees real DCT artifacts. ``decode_image``
+  sniffs the signature so FJPG blobs from pre-round-3 tables still
+  decode (legacy back-compat only — nothing encodes FJPG anymore).
 
 Everything operates on ``numpy`` arrays; the Spark entry points are the
 pandas UDFs in ``operators/fetch.py`` built on these.
@@ -137,7 +138,8 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# FJPG (deterministic lossy STAND-IN — see module docstring)
+# FJPG (legacy round-1/2 stand-in — decode-only back-compat; superseded by
+# the real baseline JPEG codec in jpeg.py)
 # ---------------------------------------------------------------------------
 def encode_fjpg(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
@@ -166,7 +168,9 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_fjpg(pixels)
+        from whakoom_webscrapper_spark import jpeg
+
+        return jpeg.encode_jpeg(pixels)
     raise NotImplementedError(f"no codec for fmt={fmt!r} in this container")
 
 
@@ -174,7 +178,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_fjpg(data)
+        if data[:4] == _FJPG_SIG:  # legacy pre-round-3 tables
+            return decode_fjpg(data)
+        from whakoom_webscrapper_spark import jpeg
+
+        return jpeg.decode_jpeg(data)
     raise NotImplementedError(f"no codec for fmt={fmt!r} in this container")
 
 

@@ -49,6 +49,20 @@ def merge_upsert(
     )
 
 
+def _recover_swap(path: str) -> None:
+    """Crash-recovery for the rename-swap protocol: a crash between the
+    two renames leaves the live table only under ``<path>__old_*`` —
+    restore it before anything GCs or overwrites (same invariant as
+    migrations._gc_tmp_dirs; ADVICE r2)."""
+    if os.path.exists(path):
+        return
+    import glob
+
+    for old in sorted(glob.glob(f"{path}__old_*")):
+        os.rename(old, path)
+        return
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -58,7 +72,11 @@ def upsert_parquet(
 ) -> None:
     """Durable upsert into a parquet directory: read-modify-write to a
     temp dir, then atomic-ish directory swap. Crash between write and
-    swap leaves the original intact (write-new-then-rename, K4)."""
+    swap leaves the original intact (write-new-then-rename, K4), and
+    ``_recover_swap`` heals the half-swapped state on the next call.
+    Local-FS protocol — on object stores use ``snapshot_upsert``, whose
+    pointer flip is a single-object PUT instead of directory renames."""
+    _recover_swap(path)
     if os.path.exists(path):
         merged = merge_upsert(spark.read.parquet(path), updates, keys, order)
     else:
@@ -70,6 +88,103 @@ def upsert_parquet(
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-pointer tables (Iceberg's metadata-pointer commit protocol in
+# miniature — SURVEY §1/§4 map upserts to Iceberg MERGE INTO; no Iceberg
+# runtime jar ships in this sandbox, so the engine carries the part of
+# Iceberg that the crash-safety argument actually needs: immutable
+# snapshot directories + one atomically-replaced pointer object. On S3/GCS
+# the pointer flip is a single-object PUT — no directory rename anywhere,
+# which is exactly what the rename-swap protocol above cannot offer.)
+# ---------------------------------------------------------------------------
+_CURRENT = "__CURRENT"
+
+
+def _pointer_file(table_dir: str) -> str:
+    return os.path.join(table_dir, _CURRENT)
+
+
+def snapshot_current(table_dir: str) -> str | None:
+    """Resolve the live snapshot directory, or None for an empty table."""
+    ptr = _pointer_file(table_dir)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    snap = os.path.join(table_dir, name)
+    return snap if os.path.isdir(snap) else None
+
+
+def snapshot_list(table_dir: str) -> list[str]:
+    """All retained snapshot generation names, oldest first."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        d for d in os.listdir(table_dir) if d.startswith("gen-")
+    )
+
+
+def snapshot_read(spark: SparkSession, table_dir: str, at: str | None = None):
+    """Read the live snapshot (or a retained older one by name — time
+    travel). Readers only ever see a fully-written immutable snapshot:
+    the pointer is flipped after the parquet commit completes."""
+    snap = (
+        os.path.join(table_dir, at) if at is not None else snapshot_current(table_dir)
+    )
+    if snap is None or not os.path.isdir(snap):
+        raise FileNotFoundError(f"no snapshot in {table_dir!r} (at={at!r})")
+    return spark.read.parquet(snap)
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    order: list[Column] | None = None,
+    keep_snapshots: int = 2,
+) -> str:
+    """MERGE into a snapshot-pointer table; returns the new snapshot name.
+
+    Commit sequence (each step safe to die after):
+      1. write merged data to a fresh immutable ``gen-<n>-<uuid>`` dir
+      2. atomically replace the ``__CURRENT`` pointer (tmp file + rename
+         on POSIX; single-object PUT on an object store)
+      3. GC snapshots older than the last ``keep_snapshots``
+    A crash before (2) leaves an unreferenced gen dir for (3) to sweep;
+    a crash inside (3) leaves extra history. The pointer is never in a
+    partial state, so a concurrent reader always resolves a complete
+    snapshot — reader-side snapshot isolation."""
+    os.makedirs(table_dir, exist_ok=True)
+    cur = snapshot_current(table_dir)
+    if cur is not None:
+        merged = merge_upsert(spark.read.parquet(cur), updates, keys, order)
+    else:
+        merged = updates
+    # next gen number = max existing + 1 (a count would collide after GC
+    # shrinks the list, breaking the name-sorted oldest-first ordering)
+    n = 1 + max(
+        (int(g.split("-")[1]) for g in snapshot_list(table_dir)), default=-1
+    )
+    name = f"gen-{n:06d}-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, name))
+
+    tmp = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _pointer_file(table_dir))  # the atomic commit point
+
+    live = {name}
+    retained = snapshot_list(table_dir)
+    # keep the newest keep_snapshots REFERENCED-or-newer gens; sweep the rest
+    for old in retained[: max(0, len(retained) - keep_snapshots)]:
+        if old not in live:
+            shutil.rmtree(os.path.join(table_dir, old), ignore_errors=True)
+    return name
 
 
 def status_rollup_update(

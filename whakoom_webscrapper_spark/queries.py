@@ -21,6 +21,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -446,7 +447,12 @@ def crawl_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the micro-world is a pure function of its parameters — generate and
     # crawl it once per process, reuse the committed state across calls
-    # (the crawl itself stays hermetic: fixed seed, fixed params)
+    # (the crawl itself stays hermetic: fixed seed, fixed params);
+    # re-validate the memo each call: a long-lived session can outlive
+    # the tempdir (tmpfs cleanup), which must regenerate, not crash
+    state = _CRAWL_MINI_STATE.get("state")
+    if state is not None and not os.path.isdir(os.path.join(state, "pages")):
+        _CRAWL_MINI_STATE.clear()
     if "state" not in _CRAWL_MINI_STATE:
         base = tempfile.mkdtemp(prefix="crawl_mini_")
         world = f"{base}/world"
@@ -653,6 +659,43 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_price", F.round(F.col("total_price") + 1.0, 2))
     )
     return UP.merge_upsert(o, updates, ["o_orderkey"])
+
+
+@query(
+    "snapshot_merge_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN 'UPDATED' ELSE o.o_orderstatus
+           END AS o_orderstatus,
+           round(CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_totalprice + 1.0
+                      ELSE o.o_totalprice END, 2) AS total_price
+    FROM orders o
+    """,
+)
+def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the durable snapshot-pointer table protocol
+    (operators/upsert.py:snapshot_upsert — the object-store-safe commit:
+    immutable gen dirs + one atomically-replaced pointer, Iceberg's
+    metadata-pointer idea without the runtime jar). Two real commits land
+    on disk; the oracle checks the merged read-back, so the whole
+    write→flip→read path sits behind the hash gate, not just the
+    in-memory merge (which merge_upsert_orders already pins)."""
+    import tempfile
+
+    from whakoom_webscrapper_spark.operators import upsert as UP
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total_price")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("UPDATED"))
+        .withColumn("total_price", F.round(F.col("total_price") + 1.0, 2))
+    )
+    tdir = os.path.join(tempfile.mkdtemp(prefix="snapmerge_"), "orders")
+    UP.snapshot_upsert(spark, tdir, o, ["o_orderkey"])
+    UP.snapshot_upsert(spark, tdir, updates, ["o_orderkey"])
+    return UP.snapshot_read(spark, tdir)
 
 
 # ---------------------------------------------------------------------------
@@ -1175,12 +1218,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_lsh_pairs_fast")  # no oracle: xxhash64 is Spark-specific
 def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DEPLOYABLE MinHash-LSH path: identical plan shape to
-    minhash_lsh_pairs but hashed with the xxhash64 JVM intrinsic instead
-    of the oracle-portable md5 arithmetic (~3x hash cost). Benched
-    alongside the portable variant so the headline reflects production
-    (VERDICT r1 item 10); correctness rides the oracle-paired twin —
-    only the hash function differs (operators/dedup.py:39)."""
+    """The DEPLOYABLE MinHash-LSH path: each distinct shingle hashed
+    ONCE (xxhash64 intrinsic), permutations derived as affine transforms
+    in one wide aggregate — no per-perm row explosion or string concat
+    (operators/dedup.py:minhash_signatures). Benched alongside the
+    portable variant so the headline reflects production (VERDICT r1
+    item 10, r2 item 3); correctness rides the oracle-paired twin —
+    same LSH banding, only the signature hashing differs."""
     from whakoom_webscrapper_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
