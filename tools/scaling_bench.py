@@ -77,16 +77,23 @@ def machine_ceiling(n_small: int, n_big: int) -> dict:
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     out: dict = {}
-    for name, fn, chunk in (
-        ("pure", _pure_compute, 4),
-        ("workload", _workload_compute, 8),
+    # fixed TOTAL work per payload (same task list at both pool sizes) so
+    # the ratio is a true strong-scaling measurement; each worker first
+    # runs one untimed warm-up call (imports + arena first-touch faults —
+    # this host pays ~300us/page on fresh memory, which once swamped the
+    # control and produced impossible >1 "efficiencies")
+    for name, fn, total in (
+        ("pure", _pure_compute, 4 * n_big),
+        ("workload", _workload_compute, 2 * n_big),
     ):
         rates = {}
         for procs in (n_small, n_big):
-            t0 = _t.time()
-            with mp.get_context("spawn").Pool(procs) as p:
-                p.map(fn, range(procs * chunk))
-            rates[procs] = procs * chunk / (_t.time() - t0)
+            with mp.get_context("spawn").Pool(
+                procs, initializer=_warmup, initargs=(fn,)
+            ) as p:
+                t0 = _t.time()
+                p.map(fn, range(1, total + 1))
+                rates[procs] = total / (_t.time() - t0)
         out[f"{name}_procs_{n_small}"] = round(rates[n_small], 2)
         out[f"{name}_procs_{n_big}"] = round(rates[n_big], 2)
         out[f"{name}_efficiency"] = round(
@@ -94,6 +101,12 @@ def machine_ceiling(n_small: int, n_big: int) -> dict:
         )
     out["ceiling_efficiency"] = out["workload_efficiency"]
     return out
+
+
+def _warmup(fn) -> None:
+    """Untimed per-worker warm-up: imports, LUT builds, malloc-arena
+    first-touch. Runs task id 0 (ids passed to the timed map start at 1)."""
+    fn(0)
 
 
 def _pure_compute(seed: int) -> float:

@@ -519,11 +519,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     luts_dc = [dc_luts[c["dc"]] for c in scan_comps]
     luts_ac = [ac_luts[c["ac"]] for c in scan_comps]
 
-    # decoded coefficients accumulate in flat Python lists (bulk-assigned
-    # after the loop — per-symbol numpy scalar stores measured ~1 µs each)
-    out_rows = [[] for _ in range(ncomp)]
-    out_cols = [[] for _ in range(ncomp)]
+    # decoded coefficients accumulate as (flat natural position, value)
+    # Python lists, bulk-scattered after the loop. The loop is the format-
+    # forced serial part, so it is tuned hard: bound .append methods, a
+    # Python-list zigzag (numpy scalar indexing costs ~100 ns/lookup),
+    # one flat index per coefficient instead of (row, col) pairs.
+    out_pos = [[] for _ in range(ncomp)]
     out_vals = [[] for _ in range(ncomp)]
+    pos_app = [p.append for p in out_pos]
+    val_app = [v.append for v in out_vals]
+    zz = _ZIGZAG.tolist()
 
     bp = 0  # bit position
     preds = [0] * ncomp
@@ -535,10 +540,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if nxt is not None:
                 bp = nxt
             preds = [0] * ncomp
+        base = mcu << 6
         for ci in range(ncomp):
-            rows = out_rows[ci]
-            cols = out_cols[ci]
-            vals = out_vals[ci]
+            pappend = pos_app[ci]
+            vappend = val_app[ci]
             i = bp >> 3
             win = (((buf[i] << 16) | (buf[i + 1] << 8) | buf[i + 2])
                    >> (8 - (bp & 7))) & 0xFFFF
@@ -554,9 +559,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bp += s
                 mag = win >> (16 - s)
                 preds[ci] += mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
-            rows.append(mcu)
-            cols.append(0)
-            vals.append(preds[ci])
+            pappend(base)
+            vappend(preds[ci])
             k = 1
             lut = luts_ac[ci]
             while k < 64:
@@ -583,9 +587,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bp += size
                 if k < 64:
                     mag = win >> (16 - size)
-                    rows.append(mcu)
-                    cols.append(k)
-                    vals.append(
+                    pappend(base + zz[k])
+                    vappend(
                         mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
                     )
                 k += 1
@@ -594,13 +597,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # ---- dequantize + IDCT, vectorized per component ----
     d = _dct8()
     planes = []
-    zz_nat = _ZIGZAG  # zigzag index -> natural index
     for ci, sc in enumerate(scan_comps):
         q = qtables[sc["tq"]].astype(np.float64)
-        nat = np.zeros((n_blocks, 64), dtype=np.float64)
-        nat[np.array(out_rows[ci], dtype=np.int64),
-            zz_nat[np.array(out_cols[ci], dtype=np.int64)]] = out_vals[ci]
-        freq = (nat * q).reshape(-1, 8, 8)
+        nat = np.zeros(n_blocks * 64, dtype=np.float64)
+        nat[np.array(out_pos[ci], dtype=np.int64)] = out_vals[ci]
+        freq = (nat.reshape(-1, 64) * q).reshape(-1, 8, 8)
         spatial = np.einsum("ji,njk,kl->nil", d, freq, d) + 128.0
         planes.append(_unblockify(spatial, by, bx, h, w))
     if ncomp == 1:

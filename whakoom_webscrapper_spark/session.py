@@ -36,6 +36,14 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Hadoop vectored IO (default-on in Spark 4) funnels every parquet
+    # range read through SimpleAsynchronousFileChannel's tiny thread pool
+    # and allocates a fresh heap buffer per range — thread-dumped under
+    # the crawl's image-table scan: all 16 task threads parked on
+    # CompletableFuture.timedGet behind 2-4 pool threads, box 85% idle.
+    # Positioned reads on the task thread restore full scan parallelism
+    # (page-cache reads need no async prefetch anyway).
+    "spark.hadoop.parquet.hadoop.vectored.io.enabled": "false",
 }
 
 
