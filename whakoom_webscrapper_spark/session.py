@@ -76,6 +76,13 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    # GC / JVM tuning hook (e.g. "-XX:+UseTransparentHugePages
+    # -XX:+AlwaysPreTouch"): on hosts with expensive first-touch page
+    # faults, a right-sized pre-touched THP heap stops G1's young-gen
+    # region rotation from faulting fresh 4K pages all run long
+    jopts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if jopts:
+        confs["spark.driver.extraJavaOptions"] = jopts
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     elif cpus:
