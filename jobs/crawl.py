@@ -92,6 +92,18 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "urls_per_sec": round(result["total_fetched"] / wall, 1),
                 "master": spark.sparkContext.master,
+                # per-epoch decomposition for the scaling evidence: epoch
+                # wall + phase timers (admit/fetch_validate/resolve/
+                # frontier_build/writes) straight from the commit markers
+                "epoch_stats": [
+                    {
+                        "epoch": s["epoch"],
+                        "fetched": s["fetched"],
+                        "duration_s": s["duration_s"],
+                        "phases": s.get("phases", {}),
+                    }
+                    for s in result["stats"]
+                ],
             }
         )
     )

@@ -66,3 +66,25 @@ def test_affine_params_distinct_and_in_range():
     assert len(set(zip(a, b))) == 16
     assert all(1 <= x < D.MINHASH_PRIME for x in a)
     assert all(0 <= x < D.MINHASH_PRIME for x in b)
+
+
+def test_fast_band_join_matches_banded_signatures(spark):
+    """The int64-band-hash path (lsh_candidate_pairs_fast) must produce
+    exactly the pairs that banding the same affine signatures the
+    portable way (collect_list + string band key) produces — the key
+    representation is the only difference."""
+    docs = _docs(spark)
+    sig = D.minhash_signatures(docs, n_perms=8, shingle_k=3, portable=False)
+    via_strings = sorted(
+        map(tuple, D.lsh_candidate_pairs(sig, band_rows=2).collect())
+    )
+    via_hash = sorted(
+        map(
+            tuple,
+            D.lsh_candidate_pairs_fast(
+                docs, n_perms=8, shingle_k=3, band_rows=2
+            ).collect(),
+        )
+    )
+    assert via_hash == via_strings
+    assert [2, 3] in [sorted(p) for p in via_hash]  # exact dup pair survives

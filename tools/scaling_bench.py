@@ -159,6 +159,11 @@ def main() -> None:
                     help="repetitions, interleaved small/big to decorrelate "
                          "shared-host drift; efficiency reported as the "
                          "median of per-repetition ratios")
+    ap.add_argument("--json", default=os.path.join(REPO, "BENCH", "scaling.json"),
+                    help="output artifact path (flushed incrementally: the "
+                         "ceiling control lands first, then every completed "
+                         "run — an interrupted campaign still leaves evidence)")
+    ap.add_argument("--skip-ceiling", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -184,46 +189,76 @@ def main() -> None:
     n_small = int(small_master.split("[")[1].rstrip("]"))
     n_big = int(big_master.split("[")[1].rstrip("]"))
 
-    # Interleave A/B within each repetition so slow drift in shared-host
-    # load hits both sides of a ratio, not just one; identical row counts
-    # across every run re-verify determinism each repetition.
-    runs = []
-    for rep in range(args.repeat):
-        r_small = run_crawl(args, small_master,
-                            small_master.replace("[", "_").replace("]", ""))
-        r_big = run_crawl(args, big_master,
-                          big_master.replace("[", "_").replace("]", ""))
-        assert r_small["fetched"] == r_big["fetched"], "nondeterminism!"
-        eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
-        runs.append({"rep": rep, small_master: r_small, big_master: r_big,
-                     "efficiency": round(eff, 3)})
-        print(f"rep {rep}: eff={eff:.3f} "
-              f"({r_small['urls_per_sec']} vs {r_big['urls_per_sec']} urls/s)",
-              file=sys.stderr)
-
-    effs = sorted(r["efficiency"] for r in runs)
-    eff = effs[len(effs) // 2]
-    ceiling = machine_ceiling(n_small, n_big)
+    # The artifact is flushed after EVERY completed step — the round-3
+    # campaign died with its JSON unwritten, leaving a results table citing
+    # a file that never existed; never again. Partial state is labeled.
     result = {
-        "machine_ceiling_control": ceiling,
-        "efficiency_vs_ceiling": round(
-            eff / max(ceiling["ceiling_efficiency"], 1e-9), 3
-        ),
         "protocol": "same job, same world, fresh state, separate JVMs; "
-                    f"median of {args.repeat} interleaved repetitions",
+                    f"median of {args.repeat} interleaved repetitions; "
+                    "ceiling control measured first; artifact flushed "
+                    "after every completed run",
+        "status": "in-progress",
         "world": {
             "n_urls": args.n_urls, "hosts": args.hosts, "fanout": args.fanout,
             "seeds": args.seeds, "budget_scale": args.budget_scale,
             "max_epochs": args.max_epochs,
         },
-        "runs": runs,
-        "efficiencies": effs,
-        "scaling_efficiency": eff,
+        "masters": [small_master, big_master],
+        "runs": [],
         "target": 0.8,
     }
+
+    def flush() -> None:
+        effs = sorted(
+            r["efficiency"] for r in result["runs"] if "efficiency" in r
+        )
+        if effs:
+            result["efficiencies"] = effs
+            result["scaling_efficiency"] = effs[len(effs) // 2]
+            ceiling = result.get("machine_ceiling_control", {}).get(
+                "ceiling_efficiency"
+            )
+            if ceiling:
+                result["efficiency_vs_ceiling"] = round(
+                    result["scaling_efficiency"] / ceiling, 3
+                )
+        tmp = args.json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=2)
+        os.replace(tmp, args.json)
+
+    # Ceiling control FIRST: it is cheap (~1 min) and the crawl number is
+    # only interpretable against it — an interrupted campaign must still
+    # hold the control.
+    if not args.skip_ceiling:
+        result["machine_ceiling_control"] = machine_ceiling(n_small, n_big)
+        print(f"ceiling: {result['machine_ceiling_control']}", file=sys.stderr)
+    flush()
+
+    # Interleave A/B within each repetition so slow drift in shared-host
+    # load hits both sides of a ratio, not just one; identical row counts
+    # across every run re-verify determinism each repetition.
+    for rep in range(args.repeat):
+        entry = {"rep": rep}
+        result["runs"].append(entry)
+        r_small = run_crawl(args, small_master,
+                            small_master.replace("[", "_").replace("]", ""))
+        entry[small_master] = r_small
+        flush()
+        r_big = run_crawl(args, big_master,
+                          big_master.replace("[", "_").replace("]", ""))
+        entry[big_master] = r_big
+        assert r_small["fetched"] == r_big["fetched"], "nondeterminism!"
+        eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
+        entry["efficiency"] = round(eff, 3)
+        flush()
+        print(f"rep {rep}: eff={eff:.3f} "
+              f"({r_small['urls_per_sec']} vs {r_big['urls_per_sec']} urls/s)",
+              file=sys.stderr)
+
+    result["status"] = "complete"
+    flush()
     print(json.dumps(result, indent=2))
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -259,8 +259,12 @@ def _feat_weights() -> tuple[np.ndarray, np.ndarray]:
     global _FEAT_W1, _FEAT_W2
     if _FEAT_W1 is None:
         rng = np.random.default_rng(_FEAT_SEED)
-        _FEAT_W1 = rng.standard_normal((64, 64)).astype(np.float64) / 8.0
-        _FEAT_W2 = rng.standard_normal((64, 64)).astype(np.float64) / 8.0
+        # float32: the tanh-mixing GEMM chain is the second-largest per-page
+        # cost after JPEG decode; halving the element size halves its memory
+        # traffic (scaling headroom on a shared bus) at no observable cost —
+        # the embedding column is float32 anyway
+        _FEAT_W1 = (rng.standard_normal((64, 64)) / 8.0).astype(np.float32)
+        _FEAT_W2 = (rng.standard_normal((64, 64)) / 8.0).astype(np.float32)
     return _FEAT_W1, _FEAT_W2
 
 
@@ -269,8 +273,10 @@ def features64(pixels: np.ndarray, mix_iters: int = 6) -> np.ndarray:
     random projection + ``mix_iters`` tanh mixing layers. ``mix_iters``
     tunes compute per image; deterministic for given pixels."""
     w1, w2 = _feat_weights()
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    gray = (gray - 128.0) / 128.0
+    gray = pixels.astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], dtype=np.float32
+    )
+    gray = (gray - np.float32(128.0)) / np.float32(128.0)
     h, w = gray.shape
     ph = max((h - 8) // 4 + 1, 1)
     pw = max((w - 8) // 4 + 1, 1)

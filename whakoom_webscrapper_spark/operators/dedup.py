@@ -79,6 +79,93 @@ def _affine_params(n_perms: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _minhash_wide(sh: DataFrame, id_col: str, n_perms: int) -> DataFrame:
+    """(id, _mh0.._mhN-1): every permutation's min in ONE hash-aggregate
+    over (id, shingle) rows — each distinct shingle hashed once
+    (xxhash64), permutations as affine transforms in pure int math."""
+    P = MINHASH_PRIME
+    a, b = _affine_params(n_perms)
+    hashed = sh.select(
+        id_col, F.pmod(F.xxhash64(F.col("_sh")), F.lit(P)).alias("_h")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a[p]) * F.col("_h") + F.lit(b[p]), F.lit(P))
+            ).alias(f"_mh{p}")
+            for p in range(n_perms)
+        ]
+    )
+
+
+def lsh_candidate_pairs_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 8,
+    shingle_k: int = 3,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Deployable MinHash-LSH candidate pairs, end-to-end from text.
+
+    Unlike the portable path (minhash_signatures → lsh_candidate_pairs,
+    kept bit-reproducible for the DuckDB oracle), this never explodes the
+    signature to (id, perm) rows or re-aggregates them into a band: bands
+    come straight off the wide per-doc aggregate, and each band's key is
+    ONE int64 — ``xxhash64`` over that band's minhash columns — instead
+    of a comma-joined string (VERDICT r3: the string band_sig + its
+    collect_list aggregate dominated once signatures got cheap). Shuffle
+    rows are (id, band_id, int64); the self-join compares 8-byte keys.
+
+    At 10^10 docs the self-join is a banded equi-join on (band_id,
+    band_hash) — bucket-sized groups, no all-pairs anywhere.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
+        ).alias("_sh"),
+    )
+    wide = _minhash_wide(sh, id_col, n_perms)
+    n_bands = (n_perms + band_rows - 1) // band_rows
+    bands = wide.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_mh{p}")
+                                for p in range(
+                                    band * band_rows,
+                                    min((band + 1) * band_rows, n_perms),
+                                )
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.band_id").alias("band_id"),
+             F.col("_b.band_hash").alias("band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -119,19 +206,7 @@ def minhash_signatures(
                 )
             ).alias("minhash")
         )
-    P = MINHASH_PRIME
-    a, b = _affine_params(n_perms)
-    hashed = sh.select(
-        id_col, F.pmod(F.xxhash64(F.col("_sh")), F.lit(P)).alias("_h")
-    )
-    wide = hashed.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.pmod(F.lit(a[p]) * F.col("_h") + F.lit(b[p]), F.lit(P))
-            ).alias(f"_mh{p}")
-            for p in range(n_perms)
-        ]
-    )
+    wide = _minhash_wide(sh, id_col, n_perms)
     pm = F.explode(
         F.array(
             *[
