@@ -5,10 +5,15 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed twice: a warm-up pass (JVM/code-gen warm, file
-listing cached) and a timed pass; the timed number is what lands in the
-JSON. Results are consumed as ``count(xxhash64(*all_columns))`` — a
-one-row aggregate that forces EVERY output column to materialize.
+Each query is executed once as warm-up (JVM/code-gen warm, file listing
+cached) and then THREE timed passes, interleaved across the whole
+headline set (q1,q2,...,qN, q1,q2,...,qN, ...) so slow drift in
+shared-host load spreads over every query instead of biasing whichever
+ran during a stall; the per-query number is the MEDIAN of the three
+(VERDICT r3 item 3: single runs on this ±10-60%-noise host made every
+cross-round delta unfalsifiable). Results are consumed as
+``count(xxhash64(*all_columns))`` — a one-row aggregate that forces
+EVERY output column to materialize.
 A plain ``count(*)`` would let Catalyst column-prune the projected
 expressions for select-only queries (url_canonicalize, text_stats),
 timing just the parquet scan; hashing every column closes that hole
@@ -40,6 +45,7 @@ HEADLINE = [
     "orders_without_items",
     "events_dedup",
     "events_hourly",
+    "sessions_gap",
     "url_canonicalize",
     "html_extract_links",
     "text_stats",
@@ -68,14 +74,21 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.SPARK_QUERIES[name]
-        exhaust(fn(spark, sf_dir))  # warm-up
-        t0 = time.perf_counter()
-        exhaust(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    import statistics
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for name in HEADLINE:  # warm-up pass, untimed
+        exhaust(Q.SPARK_QUERIES[name](spark, sf_dir))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(reps):  # interleaved: whole set per rep
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            exhaust(Q.SPARK_QUERIES[name](spark, sf_dir))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -84,6 +97,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "reps": reps,
+                "aggregation": "per-query median of interleaved reps",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

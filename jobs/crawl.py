@@ -50,6 +50,13 @@ def main() -> None:
                     help="disable token-bucket carry-over (fixed per-epoch budgets)")
     ap.add_argument("--no-images", action="store_true",
                     help="world without binary payloads (frontier-only bench)")
+    ap.add_argument("--fetch-join", default="auto",
+                    choices=["auto", "broadcast", "bucketed"],
+                    help="bucketed = ingest linkgraph/images as bucketed "
+                         "catalog tables (once per state dir) and pin the "
+                         "SortMergeJoin fallback — the beyond-broadcast "
+                         "path benched next to the default")
+    ap.add_argument("--buckets", type=int, default=32)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -66,6 +73,18 @@ def main() -> None:
         )
         print(f"world generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    bucketed_lg = bucketed_im = None
+    if args.fetch_join == "bucketed":
+        from whakoom_webscrapper_spark.sources import bucketed as B
+
+        # table names scoped by pid: separate JVMs have separate in-memory
+        # catalogs but SHARE the cwd spark-warehouse dir — concurrent runs
+        # must not collide on the managed table location
+        bucketed_lg, bucketed_im = f"lg_bkt_{os.getpid()}", f"im_bkt_{os.getpid()}"
+        B.write_bucketed_world(
+            spark, world, bucketed_lg, bucketed_im, n_buckets=args.buckets
+        )
+
     cfg = FP.CrawlConfig(
         state_dir=os.path.join(args.out, "state"),
         world_dir=world,
@@ -75,6 +94,9 @@ def main() -> None:
         use_bloom=not args.no_bloom,
         token_carryover=not args.no_carryover,
         collect_stats=not args.lean,
+        fetch_join=args.fetch_join,
+        bucketed_linkgraph=bucketed_lg,
+        bucketed_images=bucketed_im,
     )
     t0 = time.perf_counter()
     result = FP.crawl(spark, cfg, resume=args.resume, overwrite=args.overwrite)

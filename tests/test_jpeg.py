@@ -89,3 +89,49 @@ def test_zrl_long_run_roundtrip():
     px[::8, ::8] = 250  # one hot pixel per block corner
     out = jpeg.decode_jpeg(jpeg.encode_jpeg(px))
     assert imaging.psnr(px, out) >= 40.0
+
+
+def test_malformed_streams_raise_valueerror():
+    """Truncated/corrupt input must surface as ValueError, never a leaked
+    IndexError/struct.error from the marker parse or entropy loop
+    (ADVICE r3) — validate_images catches by 'bad blob' semantics."""
+    good = jpeg.encode_jpeg(_img(48, 40))
+    cases = [
+        good[: len(good) // 2],          # entropy data cut mid-block
+        good[:20],                        # cut inside a header segment
+        good[:2],                         # SOI only
+        b"\xFF\xD8\xFF\xDB\x00\x02",      # DQT with empty body
+    ]
+    # NB a corrupt tail AFTER the last MCU's bits is legitimately ignored
+    # (the entropy loop stops at block count), so that's not a case here.
+    for i, blob in enumerate(cases):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(blob)
+
+
+def test_decode_perf_smoke():
+    """Guard the crawl's dominant per-page phase against silent
+    regressions (VERDICT r3 task 8): decoding a fixed 60-image corpus
+    must stay within a VERY generous per-page bound. The bound is ~6x
+    the current median (~11 ms/page on idle hardware) because this host
+    shows +/-10-60% run-to-run drift and occasional multi-second vCPU
+    stalls — the gate exists to catch algorithmic regressions (a naive
+    einsum IDCT, an O(bits) window rebuild), not percent-level drift."""
+    import statistics
+    import time
+
+    from whakoom_webscrapper_spark import datagen
+
+    blobs = []
+    for i in range(60):
+        if datagen.fmt_of(i) != "jpeg":
+            continue
+        blobs.append(jpeg.encode_jpeg(datagen.pixels_of(i)))
+    assert len(blobs) >= 20
+    per_page = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for b in blobs:
+            jpeg.decode_jpeg(b)
+        per_page.append((time.perf_counter() - t0) * 1000 / len(blobs))
+    assert statistics.median(per_page) < 70.0, per_page

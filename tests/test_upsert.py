@@ -129,3 +129,61 @@ def test_snapshot_pointer_crash_before_flip_is_invisible(spark):
     orphan = os.path.join(tdir, "gen-000099-orphan00")
     _df(spark, [(9, "x", "s")]).write.parquet(orphan)
     assert {(r["k"],) for r in UP.snapshot_read(spark, tdir).select("k").collect()} == {(1,)}
+
+
+def test_recover_swap_restores_newest_and_sweeps_leftovers(spark):
+    """ADVICE r3: recovery must restore the NEWEST __old_* by mtime (an
+    interrupted rmtree can leave a partially-deleted STALE __old_* beside
+    the real predecessor) and sweep remaining __old_*/__tmp_* orphans."""
+    import shutil
+    import time
+
+    base = tempfile.mkdtemp(prefix="recover_")
+    path = os.path.join(base, "t")
+    UP.upsert_parquet(spark, path, _df(spark, [(1, "a", "s")]), ["k"])
+
+    # fabricate a crash: live dir renamed away, plus an OLDER stale __old_
+    # (partial contents) and an orphaned __tmp_ from an interrupted swap
+    stale = f"{path}__old_zzz"   # lexicographically LAST — the old bug
+    os.makedirs(stale)           # picked it up front when sorted() chose
+    open(os.path.join(stale, "part-junk.parquet"), "w").close()
+    past = time.time() - 3600
+    os.utime(stale, (past, past))
+    orphan_tmp = f"{path}__tmp_dead"
+    os.makedirs(orphan_tmp)
+    os.rename(path, f"{path}__old_aaa")  # the REAL predecessor (newest)
+
+    UP._recover_swap(path)
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == {"a"}
+    assert not os.path.exists(stale)
+    assert not os.path.exists(orphan_tmp)
+    assert not os.path.exists(f"{path}__old_aaa")
+
+
+def test_snapshot_upsert_conflict_raises(spark, monkeypatch):
+    """ADVICE r3: a writer whose base snapshot was superseded mid-merge
+    must fail loudly (SnapshotConflictError), not silently drop the other
+    writer's commit. Emulated by injecting a competing commit between the
+    victim's snapshot read and its pointer flip."""
+    import pytest as _pytest
+
+    t = os.path.join(tempfile.mkdtemp(prefix="snapconf_"), "tbl")
+    UP.snapshot_upsert(spark, t, _df(spark, [(1, "a", "s")]), ["k"])
+
+    orig = UP.merge_upsert
+    fired = {}
+
+    def sneaky(target, updates, keys, order=None):
+        merged = orig(target, updates, keys, order)
+        if not fired:
+            fired["x"] = True
+            UP.snapshot_upsert(
+                spark, t, _df(spark, [(9, "z", "s")]), ["k"]
+            )  # writer B lands while writer A is still merging
+        return merged
+
+    monkeypatch.setattr(UP, "merge_upsert", sneaky)
+    with _pytest.raises(UP.SnapshotConflictError):
+        UP.snapshot_upsert(spark, t, _df(spark, [(2, "b", "s")]), ["k"])
+    # writer B's commit is intact; no orphaned gen dir from writer A
+    assert {r["k"] for r in UP.snapshot_read(spark, t).collect()} == {1, 9}

@@ -66,14 +66,17 @@ def machine_ceiling(n_small: int, n_big: int) -> dict:
     Two payloads:
     - ``pure``: cache-resident BLAS (tiny matmuls) — the absolute best
       case; scales until vCPU contention.
-    - ``workload``: the crawl's ACTUAL per-page Python work (image
-      encode/decode, pHash, PSNR, 64-d features, HTML selector parse over
-      datagen pages) run via a bare multiprocessing pool. This streams
-      real image arrays through memory, so it inherits the same
-      memory-bandwidth ceiling the crawl pays — the representative
+    - ``workload``: the crawl's EXACT per-page Python work (decode,
+      pHash, PSNR, features, HTML link extraction over a pre-encoded
+      corpus) via a bare multiprocessing pool — the representative
       control. ``ceiling_efficiency`` reports the workload payload.
+
+    This up-front ceiling is CONTEXT; the normalization that matters is
+    the per-repetition interleaved ``workload_control`` (host regime
+    drifts between an up-front control and later crawl runs).
     """
     import multiprocessing as mp
+    import statistics
     import time as _t
 
     os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -83,26 +86,92 @@ def machine_ceiling(n_small: int, n_big: int) -> dict:
     # the ratio is a true strong-scaling measurement; each worker first
     # runs one untimed warm-up call (imports + arena first-touch faults —
     # this host pays ~300us/page on fresh memory, which once swamped the
-    # control and produced impossible >1 "efficiencies")
+    # control and produced impossible >1 "efficiencies").
+    # THREE interleaved repetitions per payload with a median-of-ratios
+    # headline: this VM's vCPUs stall in multi-second bursts (single-run
+    # controls measured anywhere from 0.59 to 1.02 for the SAME payload
+    # minutes apart), so a one-shot denominator is meaningless.
     for name, fn, total in (
         ("pure", _pure_compute, 4 * n_big),
         ("workload", _workload_compute, 2 * n_big),
     ):
-        rates = {}
-        for procs in (n_small, n_big):
-            with mp.get_context("spawn").Pool(
-                procs, initializer=_warmup, initargs=(fn,)
-            ) as p:
-                t0 = _t.time()
-                p.map(fn, range(1, total + 1))
-                rates[procs] = total / (_t.time() - t0)
-        out[f"{name}_procs_{n_small}"] = round(rates[n_small], 2)
-        out[f"{name}_procs_{n_big}"] = round(rates[n_big], 2)
-        out[f"{name}_efficiency"] = round(
-            rates[n_big] / rates[n_small] / (n_big / n_small), 3
-        )
+        effs, small_rates, big_rates = [], [], []
+        for _rep in range(3):
+            rates = {}
+            for procs in (n_small, n_big):
+                with mp.get_context("spawn").Pool(
+                    procs, initializer=_warmup, initargs=(fn,)
+                ) as p:
+                    t0 = _t.time()
+                    p.map(fn, range(1, total + 1))
+                    rates[procs] = total / (_t.time() - t0)
+            small_rates.append(round(rates[n_small], 2))
+            big_rates.append(round(rates[n_big], 2))
+            effs.append(
+                round(rates[n_big] / rates[n_small] / (n_big / n_small), 3)
+            )
+        out[f"{name}_procs_{n_small}"] = small_rates
+        out[f"{name}_procs_{n_big}"] = big_rates
+        out[f"{name}_efficiencies"] = effs
+        out[f"{name}_efficiency"] = round(statistics.median(effs), 3)
     out["ceiling_efficiency"] = out["workload_efficiency"]
     return out
+
+
+def frequency_probe() -> dict:
+    """Per-process throughput of the cache-resident pure payload at pool
+    sizes 1..32. On this VM the per-proc rate steps DOWN ~1.5x between 4
+    and 8 busy vCPUs and is flat from 8 to 32 — single-box CPU frequency
+    boost at low occupancy. Any N-vs-4N pair that straddles the step
+    (e.g. 4v16) measures Intel turbo, not the engine; pairs on the flat
+    region (8v32) measure the engine. A real cluster's N->4N adds whole
+    nodes at unchanged per-core frequency, so the flat-region pair is
+    the faithful sandbox analog. This probe pins that argument with data
+    in the same artifact."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    for procs in (1, 2, 4, 8, 16, 32):
+        total = max(4 * procs, 8)
+        with mp.get_context("spawn").Pool(
+            procs, initializer=_warmup, initargs=(_pure_compute,)
+        ) as p:
+            t0 = _t.time()
+            p.map(_pure_compute, range(1, total + 1))
+            rate = total / (_t.time() - t0)
+        out[f"procs_{procs}"] = round(rate / procs, 3)  # per-proc rate
+    return out
+
+
+def workload_control(n_small: int, n_big: int, total_mult: int = 8) -> dict:
+    """ONE interleaved control measurement (small pool then big pool) of
+    the crawl's exact per-page work. Called INSIDE each repetition,
+    right after that repetition's two crawl runs, so the control shares
+    the crawl's frequency/steal regime — this host's per-core rate
+    drifts 20-40% over minutes, so a control measured once up-front
+    normalizes against a regime the crawl runs may never have seen."""
+    import multiprocessing as mp
+    import time as _t
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    total = total_mult * n_big
+    rates = {}
+    for procs in (n_small, n_big):
+        with mp.get_context("spawn").Pool(
+            procs, initializer=_warmup, initargs=(_workload_compute,)
+        ) as p:
+            t0 = _t.time()
+            p.map(_workload_compute, range(1, total + 1))
+            rates[procs] = total / (_t.time() - t0)
+    return {
+        f"pages_per_s_procs_{n_small}": round(120 * rates[n_small], 1),
+        f"pages_per_s_procs_{n_big}": round(120 * rates[n_big], 1),
+        "efficiency": round(
+            rates[n_big] / rates[n_small] / (n_big / n_small), 3
+        ),
+    }
 
 
 def _warmup(fn) -> None:
@@ -121,25 +190,48 @@ def _pure_compute(seed: int) -> float:
     return float(a.sum())
 
 
+_WORK_CORPUS: list | None = None
+
+
+def _workload_corpus() -> list:
+    """Fixed 120-page corpus, encoded ONCE per worker (in the untimed
+    warm-up): the timed task then does EXACTLY the crawl's per-page UDF
+    work — decode, pHash, PSNR vs reference pixels, 64-d features, HTML
+    link extraction — and nothing else. Earlier control versions also
+    paid an encode per page, work the crawl never does; a control doing
+    different work than the job is not a ceiling for that job."""
+    global _WORK_CORPUS
+    if _WORK_CORPUS is None:
+        sys.path.insert(0, REPO)
+        from whakoom_webscrapper_spark import datagen, imaging
+
+        corpus = []
+        for i in range(120):
+            px = datagen.pixels_of(i)
+            fmt = datagen.fmt_of(i)
+            corpus.append(
+                (imaging.encode_image(px, fmt), fmt, px,
+                 datagen.html_of(i, 300_000, 8000, 12))
+            )
+        _WORK_CORPUS = corpus
+    return _WORK_CORPUS
+
+
 def _workload_compute(seed: int) -> int:
-    """The crawl's per-page Python work, 120 pages per call (ids spread
-    deterministically). Encode is extra vs the crawl (which only
-    decodes), i.e. the ceiling does MORE work per page than the crawl —
-    a conservative control, not a softball."""
+    """One unit = the crawl's per-page Python work over the fixed
+    120-page corpus (decode + validate + featurize + extract)."""
+    corpus = _workload_corpus()
     sys.path.insert(0, REPO)
-    from whakoom_webscrapper_spark import datagen, imaging
+    from whakoom_webscrapper_spark import imaging
     from whakoom_webscrapper_spark.operators import extract as X
 
     n = 0
-    for i in range(seed * 120, seed * 120 + 120):
-        px = datagen.pixels_of(i)
-        fmt = datagen.fmt_of(i)
-        blob = imaging.encode_image(px, fmt)
+    for blob, fmt, px, html in corpus:
         decoded = imaging.decode_image(blob, fmt)
         imaging.phash64(decoded)
         imaging.psnr(decoded, px)
         imaging.features64(decoded, 6)
-        X.list_links(datagen.html_of(i, 300_000, 8000, 12))
+        X.list_links(html)
         n += 1
     return n
 
@@ -215,13 +307,14 @@ def main() -> None:
         if effs:
             result["efficiencies"] = effs
             result["scaling_efficiency"] = effs[len(effs) // 2]
-            ceiling = result.get("machine_ceiling_control", {}).get(
-                "ceiling_efficiency"
-            )
-            if ceiling:
-                result["efficiency_vs_ceiling"] = round(
-                    result["scaling_efficiency"] / ceiling, 3
-                )
+        norm = sorted(
+            r["efficiency_vs_control"]
+            for r in result["runs"]
+            if "efficiency_vs_control" in r
+        )
+        if norm:
+            result["efficiencies_vs_control"] = norm
+            result["scaling_efficiency_vs_control"] = norm[len(norm) // 2]
         tmp = args.json + ".tmp"
         with open(tmp, "w") as f:
             json.dump(result, f, indent=2)
@@ -231,6 +324,10 @@ def main() -> None:
     # only interpretable against it — an interrupted campaign must still
     # hold the control.
     if not args.skip_ceiling:
+        result["frequency_probe_per_proc_rate"] = frequency_probe()
+        print(f"freq probe: {result['frequency_probe_per_proc_rate']}",
+              file=sys.stderr)
+        flush()
         result["machine_ceiling_control"] = machine_ceiling(n_small, n_big)
         print(f"ceiling: {result['machine_ceiling_control']}", file=sys.stderr)
     flush()
@@ -252,7 +349,13 @@ def main() -> None:
         eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
         entry["efficiency"] = round(eff, 3)
         flush()
-        print(f"rep {rep}: eff={eff:.3f} "
+        # the same-regime hardware control, inside the repetition
+        ctl = workload_control(n_small, n_big)
+        entry["control"] = ctl
+        if ctl["efficiency"] > 0:
+            entry["efficiency_vs_control"] = round(eff / ctl["efficiency"], 3)
+        flush()
+        print(f"rep {rep}: eff={eff:.3f} ctl={ctl['efficiency']:.3f} "
               f"({r_small['urls_per_sec']} vs {r_big['urls_per_sec']} urls/s)",
               file=sys.stderr)
 

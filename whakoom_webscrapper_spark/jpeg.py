@@ -419,7 +419,20 @@ def _extend(mag: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> HxWx3 uint8 RGB. Supports 8-bit baseline,
-    1 or 3 components, 1x1 sampling, restart markers."""
+    1 or 3 components, 1x1 sampling, restart markers.
+
+    Malformed input always surfaces as ``ValueError``: truncated or
+    corrupt streams would otherwise leak ``IndexError``/``struct.error``
+    from the marker parse or entropy loop (e.g. entropy data cut
+    mid-block indexing past the buffer), which callers catching
+    ValueError for bad blobs would miss (ADVICE r3)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (no SOI)")
     qtables: dict[int, np.ndarray] = {}

@@ -53,14 +53,24 @@ def _recover_swap(path: str) -> None:
     """Crash-recovery for the rename-swap protocol: a crash between the
     two renames leaves the live table only under ``<path>__old_*`` —
     restore it before anything GCs or overwrites (same invariant as
-    migrations._gc_tmp_dirs; ADVICE r2)."""
-    if os.path.exists(path):
-        return
+    migrations._gc_tmp_dirs; ADVICE r2). The NEWEST ``__old_*`` by mtime
+    is the real predecessor (an interrupted ``rmtree(ignore_errors)`` of
+    an earlier swap can leave a partially-deleted stale ``__old_*``
+    beside it — lexicographic order would resurrect that partial table;
+    ADVICE r3). Leftover ``__old_*``/``__tmp_*`` dirs from interrupted
+    swaps are swept here, so orphaned temp data cannot leak forever."""
     import glob
 
-    for old in sorted(glob.glob(f"{path}__old_*")):
-        os.rename(old, path)
-        return
+    olds = glob.glob(f"{path}__old_*")
+    if not os.path.exists(path) and olds:
+        newest = max(olds, key=os.path.getmtime)
+        os.rename(newest, path)
+        olds.remove(newest)
+    if os.path.exists(path):
+        # live table present → every __old_*/__tmp_* is garbage from an
+        # interrupted swap (the committed data lives under `path`)
+        for leftover in olds + glob.glob(f"{path}__tmp_*"):
+            shutil.rmtree(leftover, ignore_errors=True)
 
 
 def upsert_parquet(
@@ -100,6 +110,11 @@ def upsert_parquet(
 # which is exactly what the rename-swap protocol above cannot offer.)
 # ---------------------------------------------------------------------------
 _CURRENT = "__CURRENT"
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed between this merge's snapshot read and
+    its pointer flip; the caller should re-read and retry the merge."""
 
 
 def _pointer_file(table_dir: str) -> str:
@@ -156,9 +171,22 @@ def snapshot_upsert(
     A crash before (2) leaves an unreferenced gen dir for (3) to sweep;
     a crash inside (3) leaves extra history. The pointer is never in a
     partial state, so a concurrent reader always resolves a complete
-    snapshot — reader-side snapshot isolation."""
+    snapshot — reader-side snapshot isolation.
+
+    Writer concurrency (ADVICE r3): this protocol guarantees READER
+    isolation, not multi-writer serialization. The flip re-checks that
+    ``__CURRENT`` still names the snapshot this merge read and raises
+    ``SnapshotConflictError`` on mismatch (optimistic concurrency), which
+    turns a silent lost-merge into a loud retryable failure — but the
+    check-then-rename pair is not itself atomic, so two writers racing
+    inside that window can still both land. True multi-writer commits
+    need a compare-and-swap primitive the storage provides (Iceberg
+    delegates exactly this to its catalog's atomic CAS; on S3 it is a
+    conditional PUT). Single-writer-per-table remains the supported
+    deployment, as in the crawl (one driver owns all state commits)."""
     os.makedirs(table_dir, exist_ok=True)
     cur = snapshot_current(table_dir)
+    based_on = os.path.basename(cur) if cur is not None else None
     if cur is not None:
         merged = merge_upsert(spark.read.parquet(cur), updates, keys, order)
     else:
@@ -176,6 +204,18 @@ def snapshot_upsert(
         f.write(name)
         f.flush()
         os.fsync(f.fileno())
+    # optimistic-concurrency check: if another writer flipped the pointer
+    # since this merge read its base snapshot, committing would silently
+    # discard that writer's merge — fail loudly instead (see docstring)
+    now_cur = snapshot_current(table_dir)
+    now_name = os.path.basename(now_cur) if now_cur is not None else None
+    if now_name != based_on:
+        os.remove(tmp)
+        shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+        raise SnapshotConflictError(
+            f"{table_dir!r}: pointer moved {based_on!r} -> {now_name!r} "
+            "during merge; re-read and retry"
+        )
     os.rename(tmp, _pointer_file(table_dir))  # the atomic commit point
 
     live = {name}

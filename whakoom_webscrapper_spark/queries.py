@@ -22,6 +22,7 @@ Conventions:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -473,6 +474,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/golden_sim.py) and the resume-equivalence test.
 # ---------------------------------------------------------------------------
 _CRAWL_MINI_STATE: dict[str, str] = {}
+_SNAPMERGE_STATE: dict[str, str] = {}
 
 
 @query("crawl_mini")
@@ -729,7 +731,16 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("UPDATED"))
         .withColumn("total_price", F.round(F.col("total_price") + 1.0, 2))
     )
-    tdir = os.path.join(tempfile.mkdtemp(prefix="snapmerge_"), "orders")
+    # fresh table per call (the query IS the two-commit protocol), but
+    # remove the previous invocation's dir: repeated bench/correctness
+    # iterations otherwise accumulate a full orders copy per run on
+    # tmp-disk (ADVICE r3)
+    prev = _SNAPMERGE_STATE.pop("dir", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="snapmerge_")
+    _SNAPMERGE_STATE["dir"] = base
+    tdir = os.path.join(base, "orders")
     UP.snapshot_upsert(spark, tdir, o, ["o_orderkey"])
     UP.snapshot_upsert(spark, tdir, updates, ["o_orderkey"])
     return UP.snapshot_read(spark, tdir)
