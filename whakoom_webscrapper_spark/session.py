@@ -44,6 +44,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # Positioned reads on the task thread restore full scan parallelism
     # (page-cache reads need no async prefetch anyway).
     "spark.hadoop.parquet.hadoop.vectored.io.enabled": "false",
+    # binary image rows average ~15 KB, so the default 4096-row columnar
+    # batch reserves ~60 MB of contiguous heap PER scan task per binary
+    # column (reserve doubles it transiently while growing) — at 32
+    # concurrent scan tasks that is gigabytes of live churn and OOMed a
+    # 12 g heap on the epoch-1 image scan (local[32]). 512 rows keeps a
+    # per-task batch ~8 MB while still amortizing reader setup; per-core
+    # scan memory now stays flat as parallelism grows, which is the
+    # property a fixed-memory-per-core cluster needs.
+    "spark.sql.parquet.columnarReaderBatchSize": "512",
 }
 
 
