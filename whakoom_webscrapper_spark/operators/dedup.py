@@ -98,6 +98,35 @@ def _minhash_wide(sh: DataFrame, id_col: str, n_perms: int) -> DataFrame:
     )
 
 
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, _sh) shingle rows, execution-optimized for min-aggregation.
+
+    Emits the exact same shingle STRINGS as
+    ``functions.text.word_shingles`` (lowercase, trim, whitespace-run
+    tokenization, space-joined k-grams) but with two plan-level cuts,
+    measured ~1.4× on the sf0.1 documents table:
+
+    - ONE regex pass: tokenize with ``split(text, '\\s+')`` directly
+      instead of materializing a whitespace-normalized copy of the full
+      text (``regexp_replace``) and splitting that.
+    - NO ``array_distinct``: a min-aggregate absorbs duplicate shingles,
+      so deduplicating them first only burns string comparisons.
+
+    Only valid upstream of an idempotent aggregate (min) — anything that
+    COUNTS shingles must keep the distinct."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    sh = F.when(n < shingle_k, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
+            lambda i: F.array_join(F.slice(words, i, shingle_k), " "),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("_sh"))
+
+
 def lsh_candidate_pairs_fast(
     df: DataFrame,
     text_col: str = "text",
@@ -116,16 +145,14 @@ def lsh_candidate_pairs_fast(
     of a comma-joined string (VERDICT r3: the string band_sig + its
     collect_list aggregate dominated once signatures got cheap). Shuffle
     rows are (id, band_id, int64); the self-join compares 8-byte keys.
+    The shingle stage itself is the measured r4 bottleneck (the band
+    join's second subtree is exchange-reused at runtime), so it rides
+    ``_shingle_rows`` — one regex pass, no array_distinct.
 
     At 10^10 docs the self-join is a banded equi-join on (band_id,
     band_hash) — bucket-sized groups, no all-pairs anywhere.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
-        ).alias("_sh"),
-    )
+    sh = _shingle_rows(df, text_col, id_col, shingle_k)
     wide = _minhash_wide(sh, id_col, n_perms)
     n_bands = (n_perms + band_rows - 1) // band_rows
     bands = wide.select(
@@ -187,13 +214,13 @@ def minhash_signatures(
     Portable path (portable=True): per-(perm, shingle) md5 string hash,
     kept bit-reproducible for the DuckDB oracle twin
     (queries.py:minhash_signatures)."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
-        ).alias("_sh"),
-    )
     if portable:
+        sh = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
+            ).alias("_sh"),
+        )
         exploded = sh.select(
             id_col,
             F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("_p"),
@@ -206,7 +233,9 @@ def minhash_signatures(
                 )
             ).alias("minhash")
         )
-    wide = _minhash_wide(sh, id_col, n_perms)
+    wide = _minhash_wide(
+        _shingle_rows(df, text_col, id_col, shingle_k), id_col, n_perms
+    )
     pm = F.explode(
         F.array(
             *[
