@@ -47,7 +47,13 @@ def test_topk_uses_take_ordered(spark):
 
 def test_whole_stage_codegen_covers_text_stats(spark):
     # text analysis must stay JVM-side: no Python/Arrow eval nodes
-    plan = _plan(spark, "text_stats")
-    # '*' prefix marks whole-stage-codegen nodes in formatted explain
+    df = Q.SPARK_QUERIES["text_stats"](spark, SF)
+    # the parallelism-floor exchange makes the plan adaptive, and AQE
+    # only annotates codegen ('*' prefix) on the FINAL plan — execute
+    # first, then assert on what actually ran
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "* Project" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

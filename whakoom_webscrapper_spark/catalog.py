@@ -44,9 +44,45 @@ TESTDATA_TABLES = (
 SCHEMA_VERSION = 2
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver-provided parquet table (predicate pushdown kept)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def with_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Raise a DataFrame's partition count to the session's core count
+    before an expression-heavy map stage; no-op when the input layout
+    already provides it.
+
+    Why: parquet splits cannot cross row-group boundaries, so a scan's
+    parallelism is capped by the input's row-group count — a
+    single-row-group file (this sandbox's testdata; in production a
+    consolidated small table or one fat unsplittable object) serializes
+    every downstream narrow transformation onto ONE core until the first
+    shuffle. For regex/HOF-heavy stages (shingling, HTML extraction,
+    text stats) that turns a 32-core box into a 1-core box: measured
+    4.7 s -> 0.6 s on the sf0.1 shingle explode at local[32].
+
+    At cluster scale a 100 TB table scans as ~10^5 row groups, the guard
+    sees partitions >= cores and this is a NO-OP — it never adds a
+    shuffle to a well-laid-out input. When it does fire, it round-robins
+    only the raw input rows (pre-explosion, the narrowest point of the
+    plan), which is the cheapest place to buy parallelism."""
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Scan one driver-provided parquet table (predicate pushdown kept).
+
+    ``parallel=True`` applies :func:`with_min_parallelism` — use it for
+    queries whose cost is dominated by per-row expression work directly
+    over the scan (text/shingle/HTML/embedding paths), not for
+    filter-then-aggregate relational queries where the scan should stay
+    fused with its pushed-down predicates."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return with_min_parallelism(df) if parallel else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from whakoom_webscrapper_spark.catalog import with_min_parallelism
 from whakoom_webscrapper_spark.functions import text as T
 
 SIMHASH_BITS = 32
@@ -115,7 +116,12 @@ def _shingle_rows(
       so deduplicating them first only burns string comparisons.
 
     Only valid upstream of an idempotent aggregate (min) — anything that
-    COUNTS shingles must keep the distinct."""
+    COUNTS shingles must keep the distinct.
+
+    Rides ``with_min_parallelism``: the shingle HOF is the most
+    expression-dense stage in the engine and must never be serialized by
+    a low-row-group-count input layout (no-op on well-split inputs)."""
+    df = with_min_parallelism(df)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(words)
     sh = F.when(n < shingle_k, F.array(F.array_join(words, " "))).otherwise(
@@ -215,7 +221,7 @@ def minhash_signatures(
     kept bit-reproducible for the DuckDB oracle twin
     (queries.py:minhash_signatures)."""
     if portable:
-        sh = df.select(
+        sh = with_min_parallelism(df).select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
@@ -296,6 +302,7 @@ def simhash(
     """
     h32 = portable_hash32 if portable else (lambda c: F.abs(F.xxhash64(c)) % (1 << 32))
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    df = with_min_parallelism(df)
     words = df.select(
         F.col(id_col), F.explode(F.split(norm, " ")).alias("_w")
     ).withColumn("_h", h32(F.col("_w")))

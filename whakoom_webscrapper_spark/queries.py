@@ -784,7 +784,7 @@ _URL_BUILD_SQL = """
     """,
 )
 def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     raw = F.expr(_URL_BUILD_SQL.strip())
     return d.select(
         "doc_id",
@@ -811,7 +811,7 @@ def url_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 — ``urlparse(url).path.split('/')[1]`` analog
     (reference: spiders/lists.py:35-36): first path segment as the
     user-profile key. Empty segments surface as NULL to match SQL."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     raw = F.expr(_URL_BUILD_SQL.strip())
     seg = U.url_path_segment(raw, 1)
     return d.select(
@@ -823,13 +823,13 @@ def url_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit content fingerprint of every document (functions/text.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return d.select("doc_id", T.doc_fingerprint(F.col("text")).alias("fp"))
 
 
 @query("url_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
 def url_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     raw = F.expr(_URL_BUILD_SQL.strip())
     return d.select(
         "doc_id",
@@ -891,7 +891,7 @@ def html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     trim, @href, id from the href tail (lists.py:39-47)."""
     from whakoom_webscrapper_spark.operators import extract as X
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     links = d.select(
         "doc_id",
         F.posexplode(X.extract_list_links(F.expr(_HTML_DOC_EXPR.strip()))).alias(
@@ -922,7 +922,7 @@ def html_flat_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (publications.py:96-102): (text(), @href) per anchor."""
     from whakoom_webscrapper_spark.operators import extract as X
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return d.select(
         "doc_id",
         F.explode(X.extract_flat_titles(F.expr(_HTML_DOC_EXPR.strip()))).alias("t"),
@@ -955,7 +955,7 @@ def html_flat_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -992,7 +992,7 @@ def _lang_hits_sql(lang: str) -> str:
     """,
 )
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         d.select(T.lang_id(F.col("text")).alias("detected_lang"))
         .groupBy("detected_lang")
@@ -1029,7 +1029,7 @@ def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     score = T.quality_score(F.col("text"))
     return (
         d.select("doc_id", F.round(score, 2).alias("quality"))
@@ -1057,7 +1057,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     fp = d.select(
         F.md5(norm).alias("f"), F.substring(norm, 1, 50).alias("p")
@@ -1122,7 +1122,7 @@ NGRAM_MAX_DF = 25  # stop-shingle cutoff: shingles in more docs carry no
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     sh0 = d.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
@@ -1194,7 +1194,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, perm). Avoids duplicating the shingle array N_PERMS times —
     # the shape that scales (and ~5x faster than the nested-lambda form).
     # min over distinct shingles == min over all shingles.
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias("sh"),
@@ -1375,7 +1375,7 @@ def _dcast(col):
     """,
 )
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     cos = V.cosine(_dcast(F.col("embedding")), _dcast(F.col("qe")))
     return (
@@ -1397,7 +1397,7 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py (0.9@10 at ≤5% on a clustered corpus)."""
     from whakoom_webscrapper_spark.operators import similarity as S
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     q = e.filter(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), F.col("embedding")
     )
@@ -1415,7 +1415,7 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from whakoom_webscrapper_spark.operators import similarity as S
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     q = e.filter(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), F.col("embedding")
     )
@@ -1437,7 +1437,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are precomputed per row (O(n·d)) before the pair join, and the
     # cosine is materialized once via withColumn so filter + projection
     # share it (the naive form evaluates the O(d) lambda twice per pair).
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     with_norm = e.select(
         "vec_id", "label", _dcast(F.col("embedding")).alias("emb")
     ).withColumn("nrm", V.norm(F.col("emb")))
