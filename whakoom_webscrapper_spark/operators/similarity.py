@@ -63,6 +63,64 @@ def _dcast(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _per_query_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Scale-safe per-query top-k over (query_id, id, cos_sim) rows.
+
+    A single window partitioned by query_id collapses to ONE partition
+    whenever the query batch is small — and when the query id is a
+    literal, Catalyst constant-folds the partition key away entirely, so
+    WindowExec shuffles EVERY candidate row to one task (the observed
+    "No Partition Defined" warning; at 10^9 candidates that is the OOM
+    shape). Salted two-stage ranking instead, mirroring the politeness
+    scheduler's skew treatment (operators/politeness.py:118-128):
+    stage 1 ranks within (query_id, salt) — n_queries x n_salts
+    partitions, keeps k rows each; stage 2 merges the surviving
+    n_salts*k rows per query as a HASH AGGREGATE (sorted-array slice),
+    which combines partially map-side and never warns — no second
+    window at all. Every global top-k row ranks <= k inside its own
+    salt group, so the prune is lossless; no single task ever holds
+    more than max(candidates/n_salts, n_salts*k) rows."""
+    if n_salts is None:
+        n_salts = scored.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy(
+        query_id_col, (F.abs(F.xxhash64(F.col(id_col))) % n_salts).alias("_salt")
+    ).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    pruned = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    # ascending struct sort on (-cos_sim, id) == (cos_sim DESC, id ASC);
+    # double negation is a sign-bit flip, so -(-x) round-trips exactly
+    top = pruned.groupBy(query_id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos_sim")).alias("_neg"),
+                        F.col(id_col).alias("_id"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return top.select(
+        query_id_col, F.posexplode("_top").alias("_pos", "_t")
+    ).select(
+        query_id_col,
+        F.col("_t._id").alias(id_col),
+        (-F.col("_t._neg")).alias("cos_sim"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,16 +137,8 @@ def brute_force_topk(
         )
     )
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    return (
-        corpus.crossJoin(q)
-        .withColumn("cos_sim", cos)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select(query_id_col, id_col, F.col("cos_sim"), F.col("_rk").alias("rank"))
-    )
+    scored = corpus.crossJoin(q).withColumn("cos_sim", cos)
+    return _per_query_topk(scored, k, id_col, query_id_col)
 
 
 def _hamming_ball(radius: int, n_bits: int) -> list[int]:
@@ -186,12 +236,8 @@ def lsh_topk(
         id_col, vec_col, query_id_col, seed,
     )
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        cand.withColumn("cos_sim", cos)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select(query_id_col, id_col, F.col("cos_sim"), F.col("_rk").alias("rank"))
+    return _per_query_topk(
+        cand.withColumn("cos_sim", cos), k, id_col, query_id_col
     )
 
 
@@ -312,10 +358,6 @@ def ivf_topk(
         id_col, vec_col, query_id_col, seed, centroids,
     )
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        cand.withColumn("cos_sim", cos)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select(query_id_col, id_col, F.col("cos_sim"), F.col("_rk").alias("rank"))
+    return _per_query_topk(
+        cand.withColumn("cos_sim", cos), k, id_col, query_id_col
     )
