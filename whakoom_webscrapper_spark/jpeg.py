@@ -166,6 +166,62 @@ def _huff_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     return lut
 
 
+_FLUT_CACHE: dict[tuple, list[int]] = {}
+
+# fused-LUT entry layout (0 = not coverable in 16 bits -> slow path):
+#   bits 0-4   total bits consumed (code + magnitude)
+#   bits 5-8   zero-run length (AC only)
+#   bits 9-21  value + 4096 (DC diff or AC coefficient; 0 only for DC s=0)
+#   bit  29    ZRL (AC)
+#   bit  30    EOB (AC)
+_F_ZRL = 1 << 29
+_F_EOB = 1 << 30
+
+
+def _huff_fused_lut(bits: list[int], vals: list[int], is_ac: bool) -> list[int]:
+    """Flat 2^16 LUT resolving code AND magnitude in one window read
+    (the classic libjpeg-turbo fast path): next-16-bits -> packed
+    (total_bits, run, extended value) whenever code length + magnitude
+    size fit the window, 0 otherwise (decoder falls back to the two-step
+    symbol LUT). Vectorized build, cached by table content."""
+    key = (tuple(bits), tuple(vals), is_ac)
+    cached = _FLUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            if is_ac and sym == 0x00:
+                lut[base : base + span] = _F_EOB | length
+            elif is_ac and sym == 0xF0:
+                lut[base : base + span] = _F_ZRL | length
+            else:
+                run, size = (sym >> 4, sym & 15) if is_ac else (0, sym)
+                if length + size <= 16:
+                    if size == 0:  # DC diff of 0
+                        lut[base : base + span] = (4096 << 9) | length
+                    else:
+                        suffix = np.arange(span, dtype=np.int64)
+                        mag = suffix >> (16 - length - size)
+                        val = np.where(
+                            mag >= (1 << (size - 1)), mag, mag - (1 << size) + 1
+                        )
+                        lut[base : base + span] = (
+                            ((val + 4096) << 9) | (run << 5) | (length + size)
+                        )
+                # else: leave 0 -> slow path
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _FLUT_CACHE[key] = out
+    return out
+
+
 _ENC_DC = (_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
            _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
 _ENC_AC = (_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -413,6 +469,26 @@ def encode_jpeg(pixels: np.ndarray, quality: int = QUALITY) -> bytes:
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
+_IDCT_KQ_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _idct_kq(q: np.ndarray) -> np.ndarray:
+    """(64,64) float32 matrix mapping a raw (quantized) coefficient block
+    in row-major natural order straight to spatial samples:
+    spatial_flat = coeff_flat @ KQ. Built in float64 (kron(Dᵀ,Dᵀ) with
+    the dequantization q folded in as input-side scaling), cast once.
+    Cached by quant-table content — one entry per table seen."""
+    key = q.tobytes()
+    kq = _IDCT_KQ_CACHE.get(key)
+    if kq is None:
+        d = _dct8()  # float64 orthonormal DCT-II matrix
+        m = np.kron(d.T, d.T)  # spatial_flat = m @ freq_flat
+        kq = (m * q.astype(np.float64)[None, :]).T.astype(np.float32)
+        kq = np.ascontiguousarray(kq)
+        _IDCT_KQ_CACHE[key] = kq
+    return kq
+
+
 def _extend(mag: int, size: int) -> int:
     return mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
 
@@ -438,6 +514,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_luts: dict[int, list[int]] = {}
     ac_luts: dict[int, list[int]] = {}
+    dc_fast: dict[int, list[int]] = {}
+    ac_fast: dict[int, list[int]] = {}
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
@@ -483,6 +561,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 hvals = list(body[bpos + 17 : bpos + 17 + nv])
                 lut = _huff_decode_lut(bits, hvals)
                 (dc_luts if tclass == 0 else ac_luts)[tid] = lut
+                (dc_fast if tclass == 0 else ac_fast)[tid] = _huff_fused_lut(
+                    bits, hvals, is_ac=(tclass == 1)
+                )
                 bpos += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -537,6 +618,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     ncomp = len(scan_comps)
     luts_dc = [dc_luts[c["dc"]] for c in scan_comps]
     luts_ac = [ac_luts[c["ac"]] for c in scan_comps]
+    fast_dc = [dc_fast[c["dc"]] for c in scan_comps]
+    fast_ac = [ac_fast[c["ac"]] for c in scan_comps]
 
     # decoded coefficients accumulate as (flat natural position, value)
     # Python lists, bulk-scattered after the loop. The loop is the format-
@@ -566,26 +649,48 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             i = bp >> 3
             win = (((buf[i] << 16) | (buf[i + 1] << 8) | buf[i + 2])
                    >> (8 - (bp & 7))) & 0xFFFF
-            packed = luts_dc[ci][win]
-            if packed == 0:
-                raise ValueError("bad Huffman prefix (DC)")
-            s = packed >> 8
-            bp += packed & 0xFF
-            if s:
-                i = bp >> 3
-                win = (((buf[i] << 16) | (buf[i + 1] << 8) | buf[i + 2])
-                       >> (8 - (bp & 7))) & 0xFFFF
-                bp += s
-                mag = win >> (16 - s)
-                preds[ci] += mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+            e = fast_dc[ci][win]
+            if e:  # code + magnitude resolved by one window read
+                bp += e & 31
+                preds[ci] += (e >> 9) - 4096
+            else:  # code wider than 16-size bits, or invalid prefix
+                packed = luts_dc[ci][win]
+                if packed == 0:
+                    raise ValueError("bad Huffman prefix (DC)")
+                s = packed >> 8
+                bp += packed & 0xFF
+                if s:
+                    i = bp >> 3
+                    win = (((buf[i] << 16) | (buf[i + 1] << 8) | buf[i + 2])
+                           >> (8 - (bp & 7))) & 0xFFFF
+                    bp += s
+                    mag = win >> (16 - s)
+                    preds[ci] += (
+                        mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+                    )
             pappend(base)
             vappend(preds[ci])
             k = 1
+            flut = fast_ac[ci]
             lut = luts_ac[ci]
             while k < 64:
                 i = bp >> 3
                 win = (((buf[i] << 16) | (buf[i + 1] << 8) | buf[i + 2])
                        >> (8 - (bp & 7))) & 0xFFFF
+                e = flut[win]
+                if e:
+                    bp += e & 31
+                    if e >= _F_ZRL:
+                        if e & _F_EOB:
+                            break  # EOB
+                        k += 16  # ZRL
+                        continue
+                    k += (e >> 5) & 15
+                    if k < 64:
+                        pappend(base + zz[k])
+                        vappend((e >> 9) - 4096)
+                    k += 1
+                    continue
                 packed = lut[win]
                 if packed == 0:
                     raise ValueError("bad Huffman prefix (AC)")
@@ -613,24 +718,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 k += 1
         mcu += 1
 
-    # ---- dequantize + IDCT, vectorized per component ----
-    # The IDCT (spatial = Dᵀ·F·D per block) runs as TWO flat float32 GEMMs
-    # over all blocks at once instead of a 3-operand einsum: naive c_einsum
-    # walks an O(n·8⁴) index loop (profiled at ~4.4 ms/image, a third of
-    # decode), while (n·8,8)@(8,8) hits the BLAS microkernel. float32 is
-    # exact enough for the PSNR≥40 gate (coefficient magnitudes ≤ 2^15
-    # vs a 24-bit mantissa) and halves per-image memory traffic.
-    d = _dct8().astype(np.float32)
+    # ---- dequantize + IDCT: ONE flat float32 GEMM per component ----
+    # vec(Dᵀ·F·D) = kron(Dᵀ,Dᵀ)·vec(F) (row-major), so the whole 2-D IDCT
+    # is a single (n_blocks,64)@(64,64) matmul — and the dequantization
+    # folds into that matrix (column scaling), so the scattered raw
+    # coefficients go straight to pixels: no dequant pass, no transposes,
+    # no ascontiguousarray copies between half-transforms. 4× the MACs of
+    # the separable form but one BLAS call at its favorite shape and ~⅓
+    # the memory traffic; float32 is exact enough for the PSNR≥40 gate
+    # (coefficient magnitudes ≤ 2^15 vs a 24-bit mantissa).
     planes = []
     for ci, sc in enumerate(scan_comps):
-        q = qtables[sc["tq"]].astype(np.float32)
+        kq = _idct_kq(qtables[sc["tq"]])
         nat = np.zeros(n_blocks * 64, dtype=np.float32)
         nat[np.array(out_pos[ci], dtype=np.int64)] = out_vals[ci]
-        freq = nat.reshape(-1, 64) * q
-        t = freq.reshape(-1, 8) @ d                      # F·D, all blocks
-        t = np.ascontiguousarray(t.reshape(-1, 8, 8).transpose(0, 2, 1))
-        s = (t.reshape(-1, 8) @ d).reshape(-1, 8, 8)     # (F·D)ᵀ·D = (Dᵀ·F·D)ᵀ
-        spatial = s.transpose(0, 2, 1) + np.float32(128.0)
+        spatial = (nat.reshape(-1, 64) @ kq + np.float32(128.0)).reshape(
+            -1, 8, 8
+        )
         planes.append(_unblockify(spatial, by, bx, h, w))
     if ncomp == 1:
         gray = np.clip(planes[0], 0, 255).astype(np.uint8)
