@@ -256,6 +256,10 @@ def main() -> None:
                          "ceiling control lands first, then every completed "
                          "run — an interrupted campaign still leaves evidence)")
     ap.add_argument("--skip-ceiling", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="load an existing --json artifact and run only the "
+                         "missing legs/controls (a campaign killed mid-rep "
+                         "keeps its completed measurements)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -299,6 +303,15 @@ def main() -> None:
         "runs": [],
         "target": 0.8,
     }
+    if args.resume and os.path.exists(args.json):
+        with open(args.json) as f:
+            prior = json.load(f)
+        if prior.get("masters") != [small_master, big_master] or \
+                prior.get("world", {}) != result["world"]:
+            raise SystemExit("--resume: existing artifact was measured with "
+                             "different masters/world; refusing to mix")
+        result = prior
+        result["status"] = "in-progress"
 
     def flush() -> None:
         effs = sorted(
@@ -323,7 +336,7 @@ def main() -> None:
     # Ceiling control FIRST: it is cheap (~1 min) and the crawl number is
     # only interpretable against it — an interrupted campaign must still
     # hold the control.
-    if not args.skip_ceiling:
+    if not args.skip_ceiling and "machine_ceiling_control" not in result:
         result["frequency_probe_per_proc_rate"] = frequency_probe()
         print(f"freq probe: {result['frequency_probe_per_proc_rate']}",
               file=sys.stderr)
@@ -336,26 +349,36 @@ def main() -> None:
     # load hits both sides of a ratio, not just one; identical row counts
     # across every run re-verify determinism each repetition.
     for rep in range(args.repeat):
-        entry = {"rep": rep}
-        result["runs"].append(entry)
-        r_small = run_crawl(args, small_master,
-                            small_master.replace("[", "_").replace("]", ""))
-        entry[small_master] = r_small
-        flush()
-        r_big = run_crawl(args, big_master,
-                          big_master.replace("[", "_").replace("]", ""))
-        entry[big_master] = r_big
+        if rep < len(result["runs"]):
+            entry = result["runs"][rep]  # --resume: keep completed legs
+        else:
+            entry = {"rep": rep}
+            result["runs"].append(entry)
+        if small_master not in entry:
+            entry[small_master] = run_crawl(
+                args, small_master,
+                small_master.replace("[", "_").replace("]", ""))
+            flush()
+        r_small = entry[small_master]
+        if big_master not in entry:
+            entry[big_master] = run_crawl(
+                args, big_master,
+                big_master.replace("[", "_").replace("]", ""))
+        r_big = entry[big_master]
         assert r_small["fetched"] == r_big["fetched"], "nondeterminism!"
         eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / (n_big / n_small)
         entry["efficiency"] = round(eff, 3)
         flush()
-        # the same-regime hardware control, inside the repetition
-        ctl = workload_control(n_small, n_big)
-        entry["control"] = ctl
-        if ctl["efficiency"] > 0:
-            entry["efficiency_vs_control"] = round(eff / ctl["efficiency"], 3)
-        flush()
-        print(f"rep {rep}: eff={eff:.3f} ctl={ctl['efficiency']:.3f} "
+        if "control" not in entry:
+            # the same-regime hardware control, inside the repetition
+            ctl = workload_control(n_small, n_big)
+            entry["control"] = ctl
+            if ctl["efficiency"] > 0:
+                entry["efficiency_vs_control"] = round(
+                    eff / ctl["efficiency"], 3)
+            flush()
+        print(f"rep {rep}: eff={eff:.3f} "
+              f"ctl={entry['control']['efficiency']:.3f} "
               f"({r_small['urls_per_sec']} vs {r_big['urls_per_sec']} urls/s)",
               file=sys.stderr)
 
