@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--no-validate", action="store_true",
                     help="skip decode/phash checks (bench the frontier only)")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--seen-filter", default="bloom",
+                    choices=["bloom", "cuckoo"],
+                    help="approximate seen-set backend (cuckoo = "
+                         "deletion-capable, operators/cuckoo.py)")
     ap.add_argument("--no-carryover", action="store_true",
                     help="disable token-bucket carry-over (fixed per-epoch budgets)")
     ap.add_argument("--no-images", action="store_true",
@@ -92,6 +96,7 @@ def main() -> None:
         frontier_partitions=args.partitions,
         validate=not (args.no_validate or args.no_images),
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
         token_carryover=not args.no_carryover,
         collect_stats=not args.lean,
         fetch_join=args.fetch_join,

@@ -76,6 +76,7 @@ from pyspark.sql import types as T
 
 from whakoom_webscrapper_spark.functions import text as TXT
 from whakoom_webscrapper_spark.functions import urls as U
+from whakoom_webscrapper_spark.operators import cuckoo as CK
 from whakoom_webscrapper_spark.operators import extract, politeness
 from whakoom_webscrapper_spark.operators.bloom import (
     ShardedBloom,
@@ -115,6 +116,11 @@ class CrawlConfig:
     token_carryover: bool = True  # U6: unspent tokens accrue (cap burst x budget)
     burst_factor: int = politeness.BURST_FACTOR
     use_bloom: bool = True
+    # seen-set backend: "bloom" (default) or "cuckoo" (operators/cuckoo.py
+    # — deletion-capable, ~80x tighter FPR at ~2.4 bytes/key; the north
+    # rule names both). Same sharding/broadcast/fold architecture either
+    # way; use_bloom=False disables the approximate prefilter entirely.
+    seen_filter: str = "bloom"
     bloom_fpr: float = 0.01
     bloom_capacity: int = 1_000_000
     bloom_shards: int = 16  # B in pmod(url_hash, B); 256 at the design point
@@ -230,6 +236,15 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 def read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
     return _read_or_none(spark, _p(cfg, "seen"))
+
+
+def _seen_filter_ops(filt):
+    """(prefilter, distributed-fold) pair for the active seen-set
+    backend — Bloom and cuckoo expose the same contract, dispatched on
+    the filter object so run_epoch stays backend-agnostic."""
+    if isinstance(filt, CK.ShardedCuckoo):
+        return CK.prefilter_maybe_seen, CK.add_keys_distributed
+    return prefilter_maybe_seen, add_keys_distributed
 
 
 def run_epoch(
@@ -442,7 +457,8 @@ def run_epoch(
         else seen_prev.select("url_hash").unionByName(resolved.select("url_hash"))
     )
     if bloom is not None:
-        definitely_new, maybe_seen = prefilter_maybe_seen(nxt, "url_hash", bloom, spark)
+        _prefilter, _ = _seen_filter_ops(bloom)
+        definitely_new, maybe_seen = _prefilter(nxt, "url_hash", bloom, spark)
         # resolved-this-epoch keys are not in the bloom yet → always anti-join
         survivors = maybe_seen.join(seen_all, "url_hash", "left_anti")
         nxt = definitely_new.join(
@@ -519,7 +535,8 @@ def run_epoch(
         # distributed fold: executors hash the resolved keys into per-shard
         # bitmaps (reads the persisted `resolved`, so it overlaps the seen
         # write); driver transfer is bounded by filter size, not key count
-        tasks.append(lambda: add_keys_distributed(bloom, resolved, "url_hash"))
+        _, _fold = _seen_filter_ops(bloom)
+        tasks.append(lambda: _fold(bloom, resolved, "url_hash"))
     with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
         futures = [ex.submit(t) for t in tasks]
         for f in futures:
@@ -643,12 +660,14 @@ def crawl(
 
     bloom = None
     if cfg.use_bloom:
-        bloom = ShardedBloom.sized_for(
+        cls = {"bloom": ShardedBloom, "cuckoo": CK.ShardedCuckoo}[cfg.seen_filter]
+        bloom = cls.sized_for(
             cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_shards
         )
         seen = read_seen(spark, cfg)
         if resume and seen is not None:
-            bloom = build_bloom(seen, "url_hash", bloom)
+            rebuild = build_bloom if cfg.seen_filter == "bloom" else CK.build_cuckoo
+            bloom = rebuild(seen, "url_hash", bloom)
 
     epoch = start_epoch
     # first-epoch existence check; afterwards each epoch's stats carry the
