@@ -89,6 +89,7 @@ from whakoom_webscrapper_spark.operators.fetch import (
     page_id,
     validate_images,
 )
+from whakoom_webscrapper_spark.operators.upsert import upsert_parquet
 
 MAX_ATTEMPTS = 3  # reference: pipelines.py:88-89
 
@@ -234,8 +235,127 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
-def read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
-    return _read_or_none(spark, _p(cfg, "seen"))
+def read_seen(
+    spark: SparkSession, cfg: CrawlConfig, effective: bool = True
+) -> DataFrame | None:
+    """The URL-seen set. ``effective=True`` (every crawl consumer)
+    subtracts the ``invalidations`` ledger: a seen row is dead once a
+    later-or-equal-epoch revocation exists for its hash, so invalidated
+    URLs become crawlable again WITHOUT rewriting any append-only seen
+    partition — a re-fetch lands at a later epoch and survives the
+    subtraction. The common case (no ledger) costs one glob."""
+    seen = _read_or_none(spark, _p(cfg, "seen"))
+    if seen is None or not effective:
+        return seen
+    inv = _read_or_none(spark, _p(cfg, "invalidations"))
+    if inv is None:
+        return seen
+    latest = inv.groupBy("url_hash").agg(
+        F.max("revoked_epoch").alias("_revoked_epoch")
+    )
+    # ledger is small vs seen → Spark broadcasts the anti-join build side
+    return seen.join(
+        latest,
+        (seen["url_hash"] == latest["url_hash"])
+        & (seen["epoch"] <= latest["_revoked_epoch"]),
+        "left_anti",
+    )
+
+
+def invalidate_urls(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    urls_df: DataFrame,
+    filt: ShardedBloom | CK.ShardedCuckoo | None = None,
+    discovery_time: int = 0,
+) -> dict:
+    """Re-crawl invalidation — the deletion use-case the cuckoo backend
+    exists for (U7; reference parity: Scrapy can only re-crawl by
+    restarting with ``dont_filter`` — there is no per-URL dupefilter
+    removal). Removes previously crawled URLs from the EFFECTIVE seen
+    set and re-enqueues them, so ``crawl(resume=True)`` fetches them
+    again. Offline, single-writer — same assumption as every state
+    mutation in this module.
+
+    Mechanics:
+      1. canonicalize+hash the input ``url`` column; keep only hashes in
+         the effective seen set (never-seen URLs belong in the seed path;
+         already-revoked ones must not be revoked twice, which would
+         double-delete colliding fingerprints from a live cuckoo filter)
+      2. append ``(url_hash, revoked_epoch=last committed epoch)`` to the
+         ledger — a distributed write to a temp dir renamed atomically
+         into ``invalidations/batch=<uuid>``; crash before the rename
+         leaves no ledger entry and no frontier row (step 3 runs after),
+         i.e. the invalidation simply didn't happen
+      3. upsert frontier rows into ``frontier/epoch=<next>`` via the
+         rename-swap protocol; rows still pending in the frontier keep
+         their existing entry (ordering determinism unchanged)
+      4. maintain the live filter: cuckoo deletes the keys in place
+         (driver-side ``delete_many`` — O(batch), the filter object
+         lives on the driver between broadcasts anyway); Bloom cannot
+         delete → ``filter: rebuild_required`` (resume rebuilds from
+         the effective seen set regardless). For bulk invalidations
+         pass ``filt=None`` and let resume rebuild distributed.
+    """
+    import uuid as _uuid
+
+    # sweep stale temp dirs from interrupted prior invalidations
+    for stale in glob.glob(_p(cfg, "__invtmp_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    done = committed_epochs(cfg)
+    last = max(done) if done else -1
+    nxt = last + 1
+    seen = read_seen(spark, cfg)
+    if seen is None:
+        return {"invalidated": 0, "revoked_epoch": last, "filter": "none"}
+    # SNAPSHOT the row set to disk before touching the ledger: `rows`
+    # derives from the effective seen view, so a lazy recompute after the
+    # ledger batch lands (cache eviction) would see its own revocations
+    # and silently produce an empty re-enqueue set — break the lineage
+    tmp_rows = _p(cfg, f"__invtmp_rows_{_uuid.uuid4().hex[:8]}")
+    dedup_frontier(
+        make_frontier_rows(urls_df.select("url"), cfg, discovery_time, nxt)
+    ).join(
+        seen.select("url_hash").distinct(), "url_hash", "left_semi"
+    ).write.mode("overwrite").parquet(tmp_rows)
+    rows = spark.read.parquet(tmp_rows)
+    n = rows.count()
+    if n == 0:
+        shutil.rmtree(tmp_rows, ignore_errors=True)
+        return {"invalidated": 0, "revoked_epoch": last, "filter": "none"}
+
+    filter_mode = "none"
+    if isinstance(filt, CK.ShardedCuckoo):
+        import numpy as np
+
+        keys = np.fromiter(
+            (r["url_hash"] for r in rows.select("url_hash").collect()),
+            dtype=np.int64,
+        )
+        found = filt.delete_many(keys)
+        filter_mode = f"deleted:{int(found.sum())}"
+    elif isinstance(filt, ShardedBloom):
+        filter_mode = "rebuild_required"
+
+    ledger = rows.select(
+        "url_hash", F.lit(last).cast("int").alias("revoked_epoch")
+    )
+    inv_dir = _p(cfg, "invalidations")
+    os.makedirs(inv_dir, exist_ok=True)
+    tmp = _p(cfg, f"__invtmp_{_uuid.uuid4().hex[:8]}")
+    ledger.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(inv_dir, f"batch={_uuid.uuid4().hex[:8]}"))
+
+    fpath = _p(cfg, "frontier", f"epoch={nxt}")
+    existing = _read_or_none(spark, fpath)
+    if existing is None:
+        rows.write.mode("overwrite").parquet(fpath)
+    else:
+        add = rows.join(existing.select("url_hash"), "url_hash", "left_anti")
+        upsert_parquet(spark, fpath, add, keys=["url_hash"])
+    shutil.rmtree(tmp_rows, ignore_errors=True)
+    return {"invalidated": n, "revoked_epoch": last, "filter": filter_mode}
 
 
 def _seen_filter_ops(filt):
