@@ -39,7 +39,7 @@ def run_crawl(args, master: str, state_suffix: str) -> dict:
         "--budget-scale", str(args.budget_scale),
         "--out", state, "--max-epochs", str(args.max_epochs),
         "--master", master, "--partitions", str(args.partitions),
-        "--lean",
+        "--lean", "--seen-filter", args.seen_filter,
     ]
     # warm the OS page cache over the world files so both parallelism
     # levels see identical (warm) I/O — otherwise whichever run goes first
@@ -245,6 +245,8 @@ def main() -> None:
     ap.add_argument("--budget-scale", type=int, default=4)
     ap.add_argument("--max-epochs", type=int, default=4)
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--seen-filter", default="bloom",
+                    choices=["bloom", "cuckoo"])
     ap.add_argument("--out", default="/tmp/scalebench")
     ap.add_argument("--masters", nargs=2, default=["local[8]", "local[32]"])
     ap.add_argument("--repeat", type=int, default=1,
