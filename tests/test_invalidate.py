@@ -124,6 +124,23 @@ def test_double_invalidate_is_noop(spark, crawled):
     assert FP.invalidate_urls(spark, cfg, urls_df)["invalidated"] == 0
 
 
+def test_compact_invalidations_preserves_effective_view(spark, crawled):
+    import glob
+
+    cfg = crawled
+    urls = _some_fetched(spark, cfg, n=4)
+    for u in urls:  # one ledger batch per call
+        FP.invalidate_urls(spark, cfg, spark.createDataFrame([(u,)], ["url"]))
+    batches = glob.glob(f"{cfg.state_dir}/invalidations/batch=*")
+    assert len(batches) == len(urls)
+    eff_before = _membership(spark, cfg)
+    assert FP.compact_invalidations(spark, cfg) == len(urls)
+    assert len(glob.glob(f"{cfg.state_dir}/invalidations/batch=*")) == 1
+    assert _membership(spark, cfg) == eff_before
+    # idempotent: a single batch is already compact
+    assert FP.compact_invalidations(spark, cfg) == 0
+
+
 def test_bloom_backend_reports_rebuild(spark, crawled):
     cfg = crawled
     urls = _some_fetched(spark, cfg, n=2)

@@ -367,6 +367,37 @@ def _seen_filter_ops(filt):
     return prefilter_maybe_seen, add_keys_distributed
 
 
+def compact_invalidations(spark: SparkSession, cfg: CrawlConfig) -> int:
+    """Fold the revocation ledger's ``batch=*`` partitions into one
+    (keeping per-hash max revoked_epoch), so ``read_seen``'s per-epoch
+    subtraction reads one compact batch instead of one dir per
+    historical ``invalidate_urls`` call. Crash-safe without multi-dir
+    atomicity: the compacted batch lands FIRST (atomic rename), and
+    only then are the source batches removed — any crash leaves a
+    ledger whose union still aggregates to the same per-hash max
+    (duplicate rows are idempotent under ``max``). Offline,
+    single-writer. Returns the number of source batches folded."""
+    import uuid as _uuid
+
+    for stale in glob.glob(_p(cfg, "__invtmp_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    inv_dir = _p(cfg, "invalidations")
+    old = sorted(glob.glob(os.path.join(inv_dir, "batch=*")))
+    if len(old) <= 1:
+        return 0
+    compacted = (
+        spark.read.parquet(inv_dir)
+        .groupBy("url_hash")
+        .agg(F.max("revoked_epoch").alias("revoked_epoch"))
+    )
+    tmp = _p(cfg, f"__invtmp_compact_{_uuid.uuid4().hex[:8]}")
+    compacted.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(inv_dir, f"batch={_uuid.uuid4().hex[:8]}"))
+    for d in old:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(old)
+
+
 def run_epoch(
     spark: SparkSession,
     cfg: CrawlConfig,
