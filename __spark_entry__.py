@@ -38,4 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for every oracle-checkable query."""
+    # The image-corpus oracles read the materialized corpus parquet via
+    # read_parquet(); build it here (pyarrow, no SparkSession needed) so
+    # the file exists even if the oracle side runs before the Spark side.
+    from whakoom_webscrapper_spark import images_corpus
+
+    images_corpus.materialize()
     return dict(Q.ORACLE_SQL)

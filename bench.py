@@ -51,6 +51,7 @@ HEADLINE = [
     "text_stats",
     "lang_id_counts",
     "exact_dedup_stats",
+    "images_phash_neardup",  # image-payload near-dup (new in r4)
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above

@@ -9,6 +9,8 @@ ladder, each one here a pure DataFrame transform:
   window_dedup       row_number()=1 per key                 (exact, keeps row)
   minhash signatures + LSH band join                        (near-dup, Jaccard)
   simhash            32-bit sign-of-sums + banded hamming   (near-dup, cosine-ish)
+  hamming_dup_pairs  combination-block banding over any     (near-dup, perceptual —
+                     64-bit hash column (pHash images)       images via stored phash)
   ngram Jaccard      shingle blocking + exact Jaccard       (near-dup, exact sim)
   embedding cosine   see operators/similarity.py            (semantic)
 
@@ -194,6 +196,119 @@ def lsh_candidate_pairs_fast(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def hamming_block_keys(
+    hash_col: Column, *, bits: int, n_blocks: int, combo: int
+) -> list[tuple[int, Column]]:
+    """The (combo_id, key) bucket keys for combination-block Hamming
+    banding of one hash value: split the ``bits``-bit hash into
+    ``n_blocks`` equal blocks, and for every ``combo``-subset of blocks
+    concatenate those block values into one integer key. Pigeonhole: a
+    pair differing in at most ``max_hamming`` bits has at least
+    ``n_blocks - max_hamming`` completely clean blocks, so whenever
+    ``n_blocks - max_hamming >= combo`` the pair shares at least one
+    identical combo key — exact recall, no probabilistic miss."""
+    import itertools
+
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible by n_blocks={n_blocks}")
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = [
+        F.shiftrightunsigned(hash_col, b * width).bitwiseAND(mask)
+        for b in range(n_blocks)
+    ]
+    keys = []
+    for combo_id, subset in enumerate(itertools.combinations(range(n_blocks), combo)):
+        key = None
+        for b in subset:
+            key = blocks[b] if key is None else F.shiftleft(key, width) + blocks[b]
+        keys.append((combo_id, key))
+    return keys
+
+
+def hamming_dup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    combo: int = 2,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs over any ``bits``-bit hash column (the image
+    analog of ``simhash_dup_pairs``: perceptual dedup on the crawl's
+    stored ``phash:int64``) by COMBINATION-BLOCK banding, then exact
+    ``bit_count(xor)`` filtering. Returns (id_a, id_b, hamming).
+
+    Why not plain pigeonhole banding: exact recall at radius r needs
+    r+1 blocks, and 64 bits / 7 blocks leaves ~9-bit block values —
+    512 distinct join keys. At 10^10 rows that is ~2·10^7 rows per
+    bucket and a quadratic within-bucket blow-up; the band join itself
+    becomes the skew bottleneck. Joining instead on every
+    ``combo``-subset of blocks (Manku et al.'s permuted-table idea /
+    multi-index hashing, both public) widens the key to
+    ``combo · 64/n_blocks`` bits at the cost of C(n_blocks, combo)
+    rows per input row, while keeping the same exact-recall guarantee
+    (>= combo clean blocks whenever n_blocks - max_hamming >= combo).
+
+    Defaults (r=6, m=8, c=2): 28 rows/input, 16-bit keys over 28 combo
+    partitions ≈ 1.8M buckets. At 10^10 images pick c=3 with r<=5
+    (C(8,3)=56 combos, 24-bit keys ≈ 9·10^8 buckets) — the parameters
+    trade row multiplication against bucket cardinality explicitly;
+    both are plain equi-joins Catalyst shuffles on the combo key, with
+    AQE skew-split handling any residual hot bucket.
+    """
+    if n_blocks - max_hamming < combo:
+        raise ValueError(
+            f"no exact-recall guarantee: n_blocks({n_blocks}) - "
+            f"max_hamming({max_hamming}) < combo({combo})"
+        )
+    keys = hamming_block_keys(
+        F.col(hash_col), bits=bits, n_blocks=n_blocks, combo=combo
+    )
+    banded = (
+        with_min_parallelism(df.select(id_col, hash_col))
+        .select(
+            id_col,
+            hash_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).cast("int").alias("combo_id"),
+                            key.alias("key"),
+                        )
+                        for cid, key in keys
+                    ]
+                )
+            ).alias("_ck"),
+        )
+        .select(
+            id_col,
+            hash_col,
+            F.col("_ck.combo_id").alias("combo_id"),
+            F.col("_ck.key").alias("key"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.combo_id") == F.col("b.combo_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
         )
         .distinct()
     )

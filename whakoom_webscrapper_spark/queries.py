@@ -1347,6 +1347,84 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image corpus family — queries over the materialized input-hint table
+# (image_id, bytes, w, h, fmt, caption, phash), the exact shape in
+# BASELINE.json:15 and the table the crawl maintains. The corpus is
+# deterministic and written via pyarrow (images_corpus.py), so the DuckDB
+# oracle reads the IDENTICAL parquet file with read_parquet() and runs
+# the brute-force reference: the scalable banded plan is checked against
+# the naive quadratic join, not against a re-implementation of itself.
+# ---------------------------------------------------------------------------
+from whakoom_webscrapper_spark import images_corpus as IC  # noqa: E402
+
+_IMAGES_PQ = IC.CORPUS_PARQUET
+
+
+@query(
+    "images_phash_neardup",
+    oracle=f"""
+    SELECT a.image_id AS id_a, b.image_id AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM read_parquet('{_IMAGES_PQ}') a
+    JOIN read_parquet('{_IMAGES_PQ}') b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {IC.TWIN_MAX_HAMMING}
+    """,
+)
+def images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs at hamming<=6 over the stored
+    64-bit pHash, via combination-block banding (operators/dedup.py:
+    hamming_dup_pairs — m=8 blocks, all C(8,2)=28 two-block 16-bit
+    keys; exact recall since 8-6>=2). The oracle is the O(n^2)
+    cross-join reference over the same parquet — feasible at corpus
+    size, impossible at 10^10, which is exactly what the banded plan
+    is for. The corpus plants one noise-perturbed twin per 5th image
+    within 6 bits by construction (images_corpus.twin_pixels); base
+    images sit >=12 bits apart."""
+    from whakoom_webscrapper_spark.operators import dedup as D
+
+    return D.hamming_dup_pairs(
+        IC.read(spark),
+        id_col="image_id",
+        hash_col="phash",
+        max_hamming=IC.TWIN_MAX_HAMMING,
+        n_blocks=8,
+        combo=2,
+    )
+
+
+@query(
+    "images_format_rollup",
+    oracle=f"""
+    SELECT fmt,
+           count(*)                            AS n_images,
+           round(avg(w), 4)                    AS avg_w,
+           round(avg(h), 4)                    AS avg_h,
+           round(avg(octet_length(bytes)), 2)  AS avg_bytes,
+           count(DISTINCT phash)               AS distinct_phash,
+           count(DISTINCT caption)             AS distinct_captions
+    FROM read_parquet('{_IMAGES_PQ}')
+    GROUP BY fmt
+    """,
+)
+def images_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-profile rollup of the image table: per-format row count,
+    mean dimensions, mean encoded payload size, and the two dedup
+    denominators (distinct pHash, distinct captions — twins share the
+    caption, so distinct_captions == base-row count). One hash-agg over
+    a column-pruned scan; at 100 TB the binary column's STATS (length)
+    are read without shipping pixels anywhere Python-side."""
+    img = IC.read(spark)
+    return img.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("w"), 4).alias("avg_w"),
+        F.round(F.avg("h"), 4).alias("avg_h"),
+        F.round(F.avg(F.length("bytes")), 2).alias("avg_bytes"),
+        F.count_distinct(F.col("phash")).alias("distinct_phash"),
+        F.count_distinct(F.col("caption")).alias("distinct_captions"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity family (ANN over array<float>): brute-force cosine
 # top-k (the exact baseline) + near-dup pairs. Dot products stay JVM-side
 # via higher-order functions (functions/vectors.py) — no Arrow transfer.
