@@ -1537,3 +1537,87 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+_PAIR_COS = (
+    _COS_SQL.replace("a[", "x.embedding[")
+    .replace("len(a)", "len(x.embedding)")
+    .replace("b[", "y.embedding[")
+    .replace("len(b)", "len(y.embedding)")
+)
+
+# Shared oracle prelude: the embedding dup-pair edge set (identical to the
+# embedding_dup_pairs oracle) closed under reachability with a recursive
+# CTE — DuckDB's UNION-dedup recursion is the oracle-side equivalent of
+# the large-star/small-star fixed point in operators/components.py.
+_COMP_CTE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM embeddings x JOIN embeddings y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE {_PAIR_COS} >= 0.3
+    ), sym AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ), reach(src, node) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+    ), comp AS (
+      SELECT src AS vec_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    )
+"""
+
+
+@query(
+    "dup_clusters",
+    oracle=f"""
+    {_COMP_CTE}
+    , sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.vec_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dup clusters: transitive closure of the
+    embedding dup-pair graph via alternating large-star/small-star
+    (operators/components.py), labeling every paired vector with its
+    component min + cluster size. The step every dedup pipeline needs
+    between pair generation and canonical-survivor selection."""
+    from whakoom_webscrapper_spark.operators import components as C
+
+    pairs = embedding_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    return C.cluster_assignments(pairs, src="a", dst="b").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@query(
+    "embedding_dedup_canonical",
+    oracle=f"""
+    {_COMP_CTE}
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id IN (SELECT MAX(vec_id) FROM comp GROUP BY cluster_id)
+       OR e.vec_id NOT IN (SELECT vec_id FROM comp)
+    """,
+)
+def embedding_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dedup: keep exactly one survivor per dup
+    cluster (max vec_id — "latest wins", integer-deterministic) plus
+    every never-paired row. groupBy-max + semi-join, no rank window, so
+    a pathological giant cluster cannot hot-spot one partition."""
+    from whakoom_webscrapper_spark.operators import components as C
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    pairs = embedding_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    return C.dedup_canonical(
+        e.select("vec_id", "label"), pairs, id_col="vec_id", src="a", dst="b"
+    )
+
