@@ -57,7 +57,10 @@ HEADLINE = [
     "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above
     "embedding_knn",
     "embedding_knn_ivf",
+    "embedding_knn_pq",  # PQ/ADC compression path (new in r4)
+    "embedding_knn_ivfpq",  # composed IVFADC (new in r4)
     "embedding_dup_pairs",
+    "dup_clusters",  # large-star/small-star dup clustering (new in r4)
 ]
 
 

@@ -1,0 +1,127 @@
+"""Corpus dedup entry point: pairs → clusters → canonical survivors.
+
+Runs the full near-duplicate pipeline over any parquet table — pair
+generation (exact / MinHash-LSH / SimHash / pHash-hamming), transitive
+closure into dup clusters (operators/components.py large-star/small-star),
+canonical-survivor selection (latest-wins, or best by ``--prefer col``)
+— and writes the surviving rows as parquet, printing one JSON line of
+stats. The reference crawler has no corpus-level dedup at all (its
+DUPEFILTER is per-URL); this is the training-data-pipeline surface the
+task directive asks for, as an operational job.
+
+    # text near-dup over the documents table, keep best-quality doc
+    python jobs/dedup.py --input /root/testdata/sf0.01/documents.parquet \
+        --id-col doc_id --method minhash --text-col text --out /tmp/docs_dedup
+
+    # perceptual image dedup over a crawl's pages table
+    python jobs/dedup.py --input /tmp/run1/state/pages \
+        --id-col url --method phash --hash-col phash --max-hamming 6 \
+        --out /tmp/pages_dedup
+
+Single writer, offline, like every state mutation in this engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from whakoom_webscrapper_spark.operators import components as C
+from whakoom_webscrapper_spark.operators import dedup as D
+from whakoom_webscrapper_spark.session import get_spark
+
+
+def build_pairs(df, args):
+    if args.method == "exact":
+        h = df.select(
+            F.col(args.id_col).alias("_id"), F.xxhash64(args.text_col).alias("_h")
+        )
+        a, b = h.alias("a"), h.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+    if args.method == "minhash":
+        return D.lsh_candidate_pairs_fast(
+            df, text_col=args.text_col, id_col=args.id_col
+        ).select("id_a", "id_b")
+    if args.method == "simhash":
+        sims = D.simhash(df, text_col=args.text_col, id_col=args.id_col)
+        return D.simhash_dup_pairs(
+            sims, id_col=args.id_col, max_hamming=min(args.max_hamming, 3)
+        ).select("id_a", "id_b")
+    if args.method == "phash":
+        return D.hamming_dup_pairs(
+            df,
+            id_col=args.id_col,
+            hash_col=args.hash_col,
+            max_hamming=args.max_hamming,
+        ).select("id_a", "id_b")
+    raise ValueError(args.method)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet table to dedup")
+    ap.add_argument("--id-col", required=True)
+    ap.add_argument(
+        "--method", required=True, choices=["exact", "minhash", "simhash", "phash"]
+    )
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--hash-col", default="phash", help="int64 hash col (phash)")
+    ap.add_argument("--max-hamming", type=int, default=6)
+    ap.add_argument(
+        "--prefer",
+        default=None,
+        help="column ranking survivors (max wins; id breaks ties); "
+        "default: highest id",
+    )
+    ap.add_argument("--out", help="survivor parquet path (omit for stats only)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="whakoom_dedup", master=args.master)
+    df = spark.read.parquet(args.input)
+    rows_in = df.count()
+    pairs = build_pairs(df, args).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    cc = C.connected_components(pairs, src="id_a", dst="id_b")
+    n_clusters = cc.select("component").distinct().count()
+    n_clustered = cc.count()
+    survivors = C.dedup_canonical(
+        df, pairs, args.id_col, src="id_a", dst="id_b",
+        prefer=args.prefer, components=cc,
+    )
+    if args.out:
+        survivors.write.mode("overwrite").parquet(args.out)
+        rows_out = spark.read.parquet(args.out).count()
+    else:
+        rows_out = survivors.count()
+    print(
+        json.dumps(
+            {
+                "rows_in": rows_in,
+                "dup_pairs": n_pairs,
+                "clustered_rows": n_clustered,
+                "clusters": n_clusters,
+                "rows_out": rows_out,
+                "dropped": rows_in - rows_out,
+                "method": args.method,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,111 @@ def test_multiprobe_beats_plain_lsh_at_equal_probe_budget(spark):
     )
     assert f_mp <= f_plain * 1.1, (f_mp, f_plain)
     assert r_mp >= r_plain, (r_mp, r_plain)
+
+
+def test_pq_encode_codes_shape_and_range(spark):
+    corpus, _ = _tables(spark)
+    books = S.train_pq(corpus, m=8, n_codes=16, dim=64)
+    assert books.shape == (8, 16, 8)
+    rows = S.pq_encode(corpus, books).limit(50).collect()
+    assert rows
+    for r in rows:
+        codes = r["_pq"]
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """PQ is the byte-compression path (8-byte codes vs 256-byte raw —
+    32x), so the gate is recall after exact re-rank of a small ADC
+    shortlist, on the clustered corpus like the IVF/multi-probe gates."""
+    from whakoom_webscrapper_spark import datagen
+
+    emb = datagen.gen_clustered_embeddings(spark, 2000, n_clusters=20).persist()
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    books = S.train_pq(corpus, m=8, n_codes=256, dim=64)
+    exact = {}
+    for r in S.brute_force_topk(corpus, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    topk = S.pq_topk(corpus, q, k=10, shortlist=64, codebooks=books)
+    for r in topk.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    emb.unpersist()
+    recall = sum(
+        len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact
+    ) / len(exact)
+    assert recall >= 0.9, f"PQ recall {recall}"
+
+
+def test_pq_deterministic_and_rerank_dominates(spark):
+    corpus, q = _tables(spark)
+    books = S.train_pq(corpus, m=8, n_codes=16, dim=64)
+    a = sorted(map(tuple, S.pq_topk(corpus, q, k=5, codebooks=books).collect()))
+    b = sorted(map(tuple, S.pq_topk(corpus, q, k=5, codebooks=books).collect()))
+    assert a == b
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(corpus, q, k=10).collect()
+    }
+    with_rr = {
+        (r["query_id"], r["vec_id"])
+        for r in S.pq_topk(
+            corpus, q, k=10, shortlist=50, codebooks=books
+        ).collect()
+    }
+    adc_only = {
+        (r["query_id"], r["vec_id"])
+        for r in S.pq_topk(
+            corpus, q, k=10, codebooks=books, rerank=False
+        ).collect()
+    }
+    r_rr = len(exact & with_rr) / len(exact)
+    r_adc = len(exact & adc_only) / len(exact)
+    assert r_rr >= r_adc, (r_rr, r_adc)
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """IVFADC composition gate: IVF routing (same 128-cell/nprobe=5
+    operating point as the plain-IVF gate, ≤5% of the corpus touched)
+    + PQ ADC scoring inside probed cells + 64-row exact re-rank must
+    still clear recall ≥0.9@10 — both approximation losses stacked."""
+    from whakoom_webscrapper_spark import datagen
+
+    emb = datagen.gen_clustered_embeddings(spark, 2000, n_clusters=20).persist()
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    n_corpus = corpus.count()
+    cents = S.train_centroids(corpus, n_centroids=128, dim=64)
+    books = S.train_pq(corpus, m=8, n_codes=256, dim=64)
+    topk = S.ivf_pq_topk(
+        corpus, q, k=10, nprobe=5, shortlist=64,
+        centroids=cents, codebooks=books,
+    )
+    cand = S.ivf_candidates(corpus, q, nprobe=5, centroids=cents)
+    recall, frac = _recall_and_frac(spark, corpus, q, n_corpus, topk, cand)
+    emb.unpersist()
+    assert recall >= 0.9, f"IVFADC recall {recall}"
+    assert frac <= 0.05, f"IVFADC probed {frac:.3f} of corpus"
+
+
+def test_ivfpq_deterministic_and_contract(spark):
+    corpus, q = _tables(spark)
+    a = sorted(map(tuple, S.ivf_pq_topk(corpus, q, k=5).collect()))
+    b = sorted(map(tuple, S.ivf_pq_topk(corpus, q, k=5).collect()))
+    assert a == b
+    out = S.ivf_pq_topk(corpus, q.where(F.lit(False)), k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
+
+
+def test_pq_empty_query_batch(spark):
+    corpus, q = _tables(spark)
+    out = S.pq_topk(corpus, q.where(F.lit(False)), k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos_sim", "rank"}

@@ -163,6 +163,7 @@ def dedup_canonical(
     src: str = "src",
     dst: str = "dst",
     prefer: str | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Drop all but one canonical row per dup cluster.
 
@@ -171,10 +172,13 @@ def dedup_canonical(
     highest id ("latest wins"); with a quality column, the best-scoring
     row, id as the deterministic tie-break. Uses groupBy-max + semi-join
     rather than a rank window so a giant component cannot hot-spot one
-    partition."""
-    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
-        "id", id_col
-    )
+    partition. Pass a precomputed ``(id, component)`` frame via
+    ``components`` to reuse one closure across stats + selection."""
+    cc = (
+        components
+        if components is not None
+        else connected_components(pairs, src=src, dst=dst)
+    ).withColumnRenamed("id", id_col)
     labeled = docs.join(cc, id_col, "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )

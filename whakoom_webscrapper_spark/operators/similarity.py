@@ -20,6 +20,13 @@ Strategies over ``array<float>`` embeddings:
   cells. At 100 TB this is the standard shape: the cell assignment is
   one vectorized pass, the index is reusable, and the probe fraction is
   ~nprobe/n_centroids of the corpus per query.
+- ``pq_topk`` — product quantization (Jégou et al., TPAMI 2011): 8
+  one-byte codes per vector (32× under raw float32×64), ADC LUT scoring,
+  exact re-rank of a small shortlist. Compression path: makes each
+  scored vector ~free.
+- ``ivf_pq_topk`` — IVFADC, the composition 10^10-vector deployments
+  actually run: IVF decides which vectors to touch, PQ what each costs,
+  exact re-rank only on the shortlist.
 
 Shuffle shape (all strategies): candidates come from an equi-join on
 (table, bucket) or (cell), never a cross join; exact cosine runs only
@@ -360,4 +367,307 @@ def ivf_topk(
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
     return _per_query_topk(
         cand.withColumn("cos_sim", cos), k, id_col, query_id_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+# IVF/LSH cut how many vectors a query TOUCHES; PQ cuts how many bytes
+# each touched vector COSTS. Splitting d dims into m subspaces with
+# n_codes centroids each stores a vector as m small codes (m=8,
+# n_codes=256 → 8 one-byte codes vs 256 bytes for float32×64: 32×), and
+# a query scores a
+# candidate with m table lookups instead of a d-dim dot product
+# (asymmetric distance computation, Jégou et al., TPAMI 2011). At 100 TB
+# the codes for 10^10 vectors fit in ~80 GB — scannable from executor
+# memory — where the raw vectors (2.5 TB) are not; the standard shape is
+# IVF routing + PQ scoring + exact re-rank of a short shortlist, and
+# pq_topk composes the last two stages the same way.
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    dim: int = 64,
+    iters: int = 10,
+    sample_limit: int = 50_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Per-subspace Euclidean k-means codebooks, shape (m, n_codes,
+    dim//m), trained on the same bounded deterministic sample protocol
+    as train_centroids. Vectors are L2-normalized first so summed
+    per-subspace inner products approximate cosine."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for mi in range(m):
+        S = Xn[:, mi * sub : (mi + 1) * sub]
+        C = S[rng.choice(len(S), min(n_codes, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||s-c||² == argmax(c·s − ||c||²/2): one GEMM, not an
+            # (n × n_codes × sub) broadcast tensor
+            a = np.argmax(
+                S @ C.T - 0.5 * (C**2).sum(axis=1)[None, :], axis=1
+            )
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, S)
+            cnt = np.bincount(a, minlength=len(C))
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
+        books[mi, : len(C)] = C
+        if len(C) < n_codes:  # degenerate tiny sample: pad with copies
+            books[mi, len(C):] = C[0]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """One Arrow-batched pass assigning each (normalized) subvector its
+    nearest codebook entry; output keeps the raw vector so a downstream
+    re-rank needs no second corpus join."""
+    m, n_codes, sub = codebooks.shape
+    # ||x-c||^2 argmin == argmax(c·x - ||c||²/2); precompute the halves
+    cb = codebooks.astype(np.float64)
+    half = 0.5 * (cb**2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for mi in range(m):
+            S = Xn[:, mi * sub : (mi + 1) * sub]
+            codes[:, mi] = np.argmax(S @ cb[mi].T - half[mi][None, :], axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), encode(F.col(vec_col)).alias(code_col)
+    )
+
+
+def _query_luts(qrows, codebooks: np.ndarray, vec_col: str) -> np.ndarray:
+    """Per-query ADC lookup tables: luts[q, mi, c] = codebooks[mi, c] ·
+    (normalized query's mi-th subvector). Summing m lookups reproduces
+    the inner product against the quantized corpus vector exactly."""
+    m, n_codes, sub = codebooks.shape
+    luts = np.empty((len(qrows), m, n_codes))
+    for qi, row in enumerate(qrows):
+        qv = np.asarray(row[vec_col], dtype=np.float64)
+        qn = qv / (np.linalg.norm(qv) + 1e-12)
+        for mi in range(m):
+            luts[qi, mi] = codebooks[mi] @ qn[mi * sub : (mi + 1) * sub]
+    return luts
+
+
+def _adc_udf(luts: np.ndarray, m: int):
+    """Arrow-batched ADC scorer: fancy-index m lookups per row from the
+    (Q × m × n_codes) LUT closure and sum them."""
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series, qidx: pd.Series) -> pd.Series:
+        C = np.asarray(codes.tolist(), dtype=np.int64)
+        if len(C) == 0:
+            return pd.Series([], dtype=float)
+        qi = qidx.to_numpy(dtype=np.int64)
+        vals = luts[qi[:, None], np.arange(m)[None, :], C]
+        return pd.Series(vals.sum(axis=1))
+
+    return adc
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Re-rank a (query_id, id) shortlist with exact cosine on the raw
+    vectors — the only stage that touches uncompressed embeddings."""
+    qvecs = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    exact = (
+        short.join(corpus.select(id_col, vec_col), id_col)
+        .join(qvecs, query_id_col)
+        .withColumn(
+            "cos_sim", V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
+        )
+    )
+    return _per_query_topk(exact, k, id_col, query_id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = DEFAULT_SEED,
+    codebooks: np.ndarray | None = None,
+    rerank: bool = True,
+) -> DataFrame:
+    """ADC top-k: score every corpus row against each query with m
+    lookups into a per-query (m × n_codes) table of subspace inner
+    products, shortlist per query, then re-rank the shortlist with exact
+    cosine on the raw vectors. ``queries`` must be driver-collectable
+    (same small-batch contract as the other strategies' broadcast side);
+    the LUT stack is a (Q, m, n_codes) closure constant. Pass
+    ``codebooks`` to reuse a trained index across query batches."""
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    m, n_codes, sub = codebooks.shape
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        # empty query batch: exact-path plan on zero queries gives the
+        # right (empty) result with identical column types
+        return brute_force_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+    adc = _adc_udf(_query_luts(qrows, codebooks, vec_col), m)
+
+    spark = corpus.sparkSession
+    qmap_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("_qidx", T.IntegerType()),
+        ]
+    )
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [(row[query_id_col], qi) for qi, row in enumerate(qrows)],
+            qmap_schema,
+        )
+    )
+    coded = pq_encode(corpus, codebooks, id_col, vec_col)
+    scored = (
+        coded.crossJoin(qmap)
+        .withColumn("cos_sim", adc(F.col("_pq"), F.col("_qidx")))
+        .select(id_col, vec_col, query_id_col, "cos_sim")
+    )
+    if not rerank:
+        return _per_query_topk(scored, k, id_col, query_id_col)
+    short = _per_query_topk(scored, shortlist, id_col, query_id_col).select(
+        query_id_col, id_col
+    )
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVFADC — the full 10^10-vector composition: IVF routing decides
+    WHICH vectors a query touches (~nprobe/n_centroids of the corpus),
+    PQ decides what each touched vector COSTS (m byte-code lookups from
+    memory-resident codes, no raw-vector IO), and the exact re-rank
+    touches raw embeddings only for the per-query shortlist. One scan
+    assigns cell + PQ codes together; candidates come from an equi-join
+    on the cell id against the broadcast (query, probed-cell) map — a
+    corpus row joins a query at most once (one home cell per row), so no
+    dedup shuffle. Pass ``centroids``/``codebooks`` to reuse a trained
+    index across query batches (both are plan constants)."""
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids, dim, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    m, n_codes, _sub = codebooks.shape
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return brute_force_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col
+        )
+    adc = _adc_udf(_query_luts(qrows, codebooks, vec_col), m)
+
+    # probe cells for the (small) query batch driver-side — the same
+    # math _cell_udf runs, on Q×d floats
+    Q = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+    )
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    sims = Qn @ centroids.T
+    p = min(nprobe, sims.shape[1])
+    probed = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+
+    spark = corpus.sparkSession
+    qmap_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField("_qidx", T.IntegerType()),
+            T.StructField("_cell", T.IntegerType()),
+        ]
+    )
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [
+                (row[query_id_col], qi, int(c))
+                for qi, row in enumerate(qrows)
+                for c in probed[qi]
+            ],
+            qmap_schema,
+        )
+    )
+    assign = _cell_udf(centroids, 1)
+    coded = pq_encode(corpus, codebooks, id_col, vec_col).withColumn(
+        "_cell", F.explode(assign(F.col(vec_col)))
+    )
+    scored = (
+        coded.join(qmap, "_cell")
+        .withColumn("cos_sim", adc(F.col("_pq"), F.col("_qidx")))
+        .select(id_col, vec_col, query_id_col, "cos_sim")
+    )
+    short = _per_query_topk(scored, shortlist, id_col, query_id_col).select(
+        query_id_col, id_col
+    )
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
     )

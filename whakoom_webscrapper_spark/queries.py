@@ -1567,6 +1567,44 @@ _COMP_CTE = f"""
 """
 
 
+@query("embedding_knn_pq")  # no oracle: ADC shortlist is approximate
+def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-compression ANN: product quantization (m=8 subspaces x 256
+    codes = 8 bytes/vector, 32x smaller than raw float32) scored by ADC
+    table lookups, then exact re-rank of a 64-row shortlist. The third
+    scale path next to IVF (touch fewer vectors) and multi-probe LSH
+    (touch fewer buckets): PQ makes each touched vector ~free. Recall
+    gate in tests/test_similarity.py."""
+    from whakoom_webscrapper_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    return S.pq_topk(corpus, q, k=10, m=8, n_codes=256, shortlist=64)
+
+
+@query("embedding_knn_ivfpq")  # no oracle: doubly-approximate by design
+def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composition every 10^10-vector deployment runs: IVF
+    routing picks WHICH vectors to touch (nprobe/n_centroids of the
+    corpus), PQ byte codes make each touched vector ~free (8 LUT adds,
+    no raw-vector IO), exact cosine re-ranks only the 64-row shortlist.
+    Recall gate (both losses stacked, >=0.9@10 at <=5% probed) in
+    tests/test_similarity.py."""
+    from whakoom_webscrapper_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    return S.ivf_pq_topk(
+        corpus, q, k=10, n_centroids=32, nprobe=4, shortlist=64
+    )
+
+
 @query(
     "dup_clusters",
     oracle=f"""
