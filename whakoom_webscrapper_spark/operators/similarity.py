@@ -251,6 +251,26 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------
+def _sample_matrix(
+    corpus: DataFrame,
+    sample_limit: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Bounded DETERMINISTIC training sample as L2-normalized rows:
+    ordered by id, capped at ``sample_limit`` (TakeOrderedAndProject —
+    a per-partition top-k merge, never a full sort). One collection
+    serves every trainer that needs it."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .toPandas()
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 32,
@@ -260,21 +280,21 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = DEFAULT_SEED,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a bounded, DETERMINISTIC sample (ordered by
     id, capped at ``sample_limit`` — at 100 TB training on a sample is
     standard IVF practice; the assignment pass below is what streams the
     full corpus). Lloyd iterations are driver-side numpy over ≤50k×d
     floats (~12 MB): cheaper and more predictable than iterating Spark
-    jobs, and the result is a plan constant."""
-    pdf = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_limit)
-        .toPandas()
+    jobs, and the result is a plan constant. Pass ``sample`` (normalized
+    rows from ``_sample_matrix``) to share one collection across
+    trainers, as ivf_pq_topk does."""
+    Xn = (
+        sample
+        if sample is not None
+        else _sample_matrix(corpus, sample_limit, id_col, vec_col)
     )
-    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     rng = np.random.default_rng(seed)
     C = Xn[rng.choice(len(Xn), min(n_centroids, len(Xn)), replace=False)].copy()
     for _ in range(iters):
@@ -396,22 +416,21 @@ def train_pq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = DEFAULT_SEED,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Euclidean k-means codebooks, shape (m, n_codes,
     dim//m), trained on the same bounded deterministic sample protocol
-    as train_centroids. Vectors are L2-normalized first so summed
-    per-subspace inner products approximate cosine."""
+    as train_centroids (pass ``sample`` to share one collection).
+    Vectors are L2-normalized first so summed per-subspace inner
+    products approximate cosine."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    pdf = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_limit)
-        .toPandas()
+    Xn = (
+        sample
+        if sample is not None
+        else _sample_matrix(corpus, sample_limit, id_col, vec_col)
     )
-    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, sub))
     for mi in range(m):
@@ -612,14 +631,19 @@ def ivf_pq_topk(
     corpus row joins a query at most once (one home cell per row), so no
     dedup shuffle. Pass ``centroids``/``codebooks`` to reuse a trained
     index across query batches (both are plan constants)."""
-    if centroids is None:
-        centroids = train_centroids(
-            corpus, n_centroids, dim, vec_col=vec_col, id_col=id_col, seed=seed
-        )
-    if codebooks is None:
-        codebooks = train_pq(
-            corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col, seed=seed
-        )
+    if centroids is None or codebooks is None:
+        # one sample collection trains both quantizers
+        sample = _sample_matrix(corpus, 50_000, id_col, vec_col)
+        if centroids is None:
+            centroids = train_centroids(
+                corpus, n_centroids, dim, vec_col=vec_col, id_col=id_col,
+                seed=seed, sample=sample,
+            )
+        if codebooks is None:
+            codebooks = train_pq(
+                corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col,
+                seed=seed, sample=sample,
+            )
     m, n_codes, _sub = codebooks.shape
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
