@@ -25,8 +25,10 @@ Strategies over ``array<float>`` embeddings:
   exact re-rank of a small shortlist. Compression path: makes each
   scored vector ~free.
 - ``ivf_pq_topk`` — IVFADC, the composition 10^10-vector deployments
-  actually run: IVF decides which vectors to touch, PQ what each costs,
-  exact re-rank only on the shortlist.
+  actually run: IVF decides which vectors to touch, PQ (over residuals
+  against the home-cell centroid, so the code range resolves
+  within-cluster structure) what each costs, exact re-rank only on the
+  shortlist.
 
 Shuffle shape (all strategies): candidates come from an equi-join on
 (table, bucket) or (cell), never a cross join; exact cosine runs only
@@ -417,12 +419,23 @@ def train_pq(
     id_col: str = "vec_id",
     seed: int = DEFAULT_SEED,
     sample: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Euclidean k-means codebooks, shape (m, n_codes,
     dim//m), trained on the same bounded deterministic sample protocol
     as train_centroids (pass ``sample`` to share one collection).
     Vectors are L2-normalized first so summed per-subspace inner
-    products approximate cosine."""
+    products approximate cosine.
+
+    With ``centroids``, codebooks are trained on RESIDUALS (xn − its
+    nearest centroid) — classic IVFADC (Jégou et al. §IV). Raw-vector
+    PQ wastes its code range re-describing coarse cluster structure:
+    in a corpus of tight clusters every member of a cluster lands on
+    near-identical codes, ADC scores tie, and the shortlist becomes an
+    arbitrary subset (measured: recall@10 collapses to ~0.36 at 500
+    vectors/cluster). Residuals re-center every cell at the origin so
+    the full code range resolves WITHIN-cluster structure — the
+    distinctions that actually rank neighbors."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
@@ -431,6 +444,8 @@ def train_pq(
         if sample is not None
         else _sample_matrix(corpus, sample_limit, id_col, vec_col)
     )
+    if centroids is not None:
+        Xn = Xn - centroids[np.argmax(Xn @ centroids.T, axis=1)]
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, sub))
     for mi in range(m):
@@ -482,6 +497,59 @@ def pq_encode(
 
     return corpus.select(
         F.col(id_col), F.col(vec_col), encode(F.col(vec_col)).alias(code_col)
+    )
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow-batched pass producing BOTH the IVF home cell and the
+    PQ codes of the residual (xn − centroid[cell]) — the index build of
+    classic IVFADC, fused so the corpus is normalized once. Output:
+    (id, vec, _cell int, _pq array<int>)."""
+    m, n_codes, sub = codebooks.shape
+    cents = centroids.astype(np.float64)
+    cb = codebooks.astype(np.float64)
+    half = 0.5 * (cb**2).sum(axis=2)  # (m, n_codes)
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        cells = np.argmax(Xn @ cents.T, axis=1)
+        R = Xn - cents[cells]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for mi in range(m):
+            Smat = R[:, mi * sub : (mi + 1) * sub]
+            codes[:, mi] = np.argmax(
+                Smat @ cb[mi].T - half[mi][None, :], axis=1
+            )
+        return pd.DataFrame(
+            {
+                "cell": cells.astype(np.int32),
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    e = corpus.select(id_col, vec_col, enc(F.col(vec_col)).alias("_e"))
+    return e.select(
+        id_col,
+        vec_col,
+        F.col("_e.cell").alias("_cell"),
+        F.col("_e.codes").alias("_pq"),
     )
 
 
@@ -553,6 +621,7 @@ def pq_topk(
     seed: int = DEFAULT_SEED,
     codebooks: np.ndarray | None = None,
     rerank: bool = True,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: score every corpus row against each query with m
     lookups into a per-query (m × n_codes) table of subspace inner
@@ -560,7 +629,10 @@ def pq_topk(
     cosine on the raw vectors. ``queries`` must be driver-collectable
     (same small-batch contract as the other strategies' broadcast side);
     the LUT stack is a (Q, m, n_codes) closure constant. Pass
-    ``codebooks`` to reuse a trained index across query batches."""
+    ``codebooks`` to reuse a trained index across query batches, and
+    ``coded`` (a persisted ``pq_encode`` output for the SAME codebooks)
+    to skip re-encoding — in production the codes are a stored index
+    column, built once per corpus version, not per query batch."""
     if codebooks is None:
         codebooks = train_pq(
             corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col, seed=seed
@@ -588,7 +660,8 @@ def pq_topk(
             qmap_schema,
         )
     )
-    coded = pq_encode(corpus, codebooks, id_col, vec_col)
+    if coded is None:
+        coded = pq_encode(corpus, codebooks, id_col, vec_col)
     scored = (
         coded.crossJoin(qmap)
         .withColumn("cos_sim", adc(F.col("_pq"), F.col("_qidx")))
@@ -620,17 +693,28 @@ def ivf_pq_topk(
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC — the full 10^10-vector composition: IVF routing decides
     WHICH vectors a query touches (~nprobe/n_centroids of the corpus),
     PQ decides what each touched vector COSTS (m byte-code lookups from
     memory-resident codes, no raw-vector IO), and the exact re-rank
-    touches raw embeddings only for the per-query shortlist. One scan
-    assigns cell + PQ codes together; candidates come from an equi-join
-    on the cell id against the broadcast (query, probed-cell) map — a
-    corpus row joins a query at most once (one home cell per row), so no
-    dedup shuffle. Pass ``centroids``/``codebooks`` to reuse a trained
-    index across query batches (both are plan constants)."""
+    touches raw embeddings only for the per-query shortlist.
+
+    PQ codes quantize RESIDUALS against the home-cell centroid (see
+    train_pq): the ADC estimate of qn·xn decomposes as qn·centroid[cell]
+    (a driver-side scalar carried on the broadcast (query, probed-cell)
+    map) plus the LUT sum over the residual codes. One fused scan
+    assigns cell + residual codes together (ivf_pq_encode); candidates
+    come from an equi-join on the cell id — a corpus row joins a query
+    at most once (one home cell per row), so no dedup shuffle. Pass
+    ``centroids``/``codebooks`` to reuse a trained index across query
+    batches (both are plan constants; ``codebooks`` must be
+    residual-trained, i.e. ``train_pq(..., centroids=centroids)``), and
+    ``coded`` (a persisted ``ivf_pq_encode`` output for the same
+    centroids+codebooks) to skip re-encoding — in production the cell
+    and codes are stored index columns, built once per corpus version,
+    not per query batch."""
     if centroids is None or codebooks is None:
         # one sample collection trains both quantizers
         sample = _sample_matrix(corpus, 50_000, id_col, vec_col)
@@ -642,7 +726,7 @@ def ivf_pq_topk(
         if codebooks is None:
             codebooks = train_pq(
                 corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col,
-                seed=seed, sample=sample,
+                seed=seed, sample=sample, centroids=centroids,
             )
     m, n_codes, _sub = codebooks.shape
     qrows = queries.select(query_id_col, vec_col).collect()
@@ -668,25 +752,26 @@ def ivf_pq_topk(
             T.StructField(query_id_col, queries.schema[query_id_col].dataType),
             T.StructField("_qidx", T.IntegerType()),
             T.StructField("_cell", T.IntegerType()),
+            T.StructField("_qc", T.DoubleType()),  # qn · centroid[cell]
         ]
     )
     qmap = F.broadcast(
         spark.createDataFrame(
             [
-                (row[query_id_col], qi, int(c))
+                (row[query_id_col], qi, int(c), float(sims[qi, c]))
                 for qi, row in enumerate(qrows)
                 for c in probed[qi]
             ],
             qmap_schema,
         )
     )
-    assign = _cell_udf(centroids, 1)
-    coded = pq_encode(corpus, codebooks, id_col, vec_col).withColumn(
-        "_cell", F.explode(assign(F.col(vec_col)))
-    )
+    if coded is None:
+        coded = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col)
     scored = (
         coded.join(qmap, "_cell")
-        .withColumn("cos_sim", adc(F.col("_pq"), F.col("_qidx")))
+        .withColumn(
+            "cos_sim", F.col("_qc") + adc(F.col("_pq"), F.col("_qidx"))
+        )
         .select(id_col, vec_col, query_id_col, "cos_sim")
     )
     short = _per_query_topk(scored, shortlist, id_col, query_id_col).select(

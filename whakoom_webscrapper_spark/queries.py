@@ -1589,10 +1589,12 @@ def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the composition every 10^10-vector deployment runs: IVF
     routing picks WHICH vectors to touch (nprobe/n_centroids of the
-    corpus), PQ byte codes make each touched vector ~free (8 LUT adds,
+    corpus), PQ byte codes over the RESIDUAL against the home-cell
+    centroid make each touched vector ~free (8 LUT adds + one scalar,
     no raw-vector IO), exact cosine re-ranks only the 64-row shortlist.
-    Recall gate (both losses stacked, >=0.9@10 at <=5% probed) in
-    tests/test_similarity.py."""
+    Recall gates (both losses stacked >=0.9@10 at <=5% probed;
+    residual beats raw codes on fat clusters) in
+    tests/test_similarity.py; 1M-vector A/B in BENCH/ann_ab.json."""
     from whakoom_webscrapper_spark.operators import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
