@@ -1,0 +1,72 @@
+"""End-to-end gate for jobs/ann.py: persisted IVFADC index + query.
+
+Build writes codebooks.npz + the coded corpus; query reloads BOTH from
+disk (nothing retrained, nothing re-encoded) and must still clear the
+recall gate against brute force on the clustered corpus — proving the
+index artifact is the whole state a query session needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "jobs"))
+import ann as ann_job  # noqa: E402
+
+from whakoom_webscrapper_spark import datagen  # noqa: E402
+from whakoom_webscrapper_spark.operators import similarity as S  # noqa: E402
+
+
+def _run(argv, capsys):
+    old = sys.argv
+    sys.argv = ["ann.py"] + argv
+    try:
+        ann_job.main()
+    finally:
+        sys.argv = old
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_ann_index_build_then_query_from_disk(spark, capsys):
+    d = tempfile.mkdtemp(prefix="ann_job_")
+    emb = datagen.gen_clustered_embeddings(spark, 2000, n_clusters=20)
+    corpus_path, queries_path = f"{d}/emb", f"{d}/queries"
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    corpus.write.parquet(corpus_path)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q.write.parquet(queries_path)
+
+    stats = _run(
+        ["build", "--input", corpus_path, "--out", f"{d}/ix",
+         "--n-centroids", "128"],
+        capsys,
+    )
+    assert stats["rows_indexed"] == 1992
+    assert os.path.exists(f"{d}/ix/codebooks.npz")
+
+    qstats = _run(
+        ["query", "--index", f"{d}/ix", "--queries", queries_path,
+         "--k", "10", "--nprobe", "5", "--shortlist", "192",
+         "--out", f"{d}/hits"],
+        capsys,
+    )
+    assert qstats["hits"] == 80  # 8 queries x k=10
+
+    exact = {}
+    for r in S.brute_force_topk(corpus, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in spark.read.parquet(f"{d}/hits").collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact
+    ) / len(exact)
+    assert recall >= 0.9, f"from-disk index recall {recall}"

@@ -280,6 +280,22 @@ def test_residual_adc_beats_raw_pq_on_fat_clusters(spark):
     assert res_192 >= 0.9, f"residual IVFADC recall@192 {res_192}"
 
 
+def test_encode_is_stateless_per_row_so_index_updates_are_incremental(spark):
+    """ivf_pq_encode depends only on (row, plan constants), so encoding
+    a delta and unioning it with the existing coded table is bit-exact
+    with re-encoding the whole corpus — the property that lets a crawl
+    append epochs to a stored ANN index instead of rebuilding it."""
+    corpus, _ = _tables(spark)
+    cents = S.train_centroids(corpus, n_centroids=16, dim=64)
+    books = S.train_pq(corpus, m=8, n_codes=16, dim=64, centroids=cents)
+    whole = S.ivf_pq_encode(corpus, cents, books)
+    old = S.ivf_pq_encode(corpus.filter(F.col("vec_id") < 250), cents, books)
+    delta = S.ivf_pq_encode(corpus.filter(F.col("vec_id") >= 250), cents, books)
+    merged = old.unionByName(delta)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_pq_empty_query_batch(spark):
     corpus, q = _tables(spark)
     out = S.pq_topk(corpus, q.where(F.lit(False)), k=5)
