@@ -33,22 +33,28 @@ surface (SURVEY §2 J-group) beyond reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    """Commutative fingerprint of an edge set: (count, xor of xxhash64).
-
-    Order-independent, so it is stable across shuffles, and xor cannot
-    overflow under ANSI mode (the edge set is distinct, so xor
-    cancellation needs a hash collision); one cheap aggregate per round
-    is the only driver-side traffic."""
-    row = edges.agg(
-        F.count("*").alias("n"),
+def _checkpoint_with_checksum(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one round's edge set AND its convergence fingerprint
+    in a single job: an Observation rides the eager localCheckpoint, so
+    the per-round driver traffic is one (count, xor-of-xxhash64) row
+    with no second pass over the data. The fingerprint is commutative —
+    order-independent across shuffles — and xor cannot overflow under
+    ANSI mode (the edge set is distinct, so xor cancellation needs a
+    hash collision)."""
+    obs = Observation(f"cc_{uuid.uuid4().hex[:8]}")
+    out = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).first()
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint(eager=True)
+    row = obs.get
+    return out, (int(row["n"]), int(row["h"]))
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -113,8 +119,7 @@ def connected_components(
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
-        cs = _checksum(cur)
+        cur, cs = _checkpoint_with_checksum(_small_star(_large_star(sym)))
         if cs == prev:
             break
         prev = cs
