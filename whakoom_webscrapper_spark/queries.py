@@ -1661,3 +1661,55 @@ def embedding_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "label"), pairs, id_col="vec_id", src="a", dst="b"
     )
 
+
+@query(
+    "docs_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, perm,
+               list_min(list_transform({_SHINGLES_SQL},
+                   s -> CAST(('0x' || substr(md5(perm || ':' || s), 1, 15)) AS BIGINT)
+               )) AS minhash
+        FROM documents, unnest(range(0, {N_PERMS})) AS t(perm)
+    ), bands AS (
+        SELECT doc_id, perm // {BAND_ROWS} AS band_id,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_sig
+        FROM sig GROUP BY doc_id, perm // {BAND_ROWS}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ), reach(src, node) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+    ), comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id IN (SELECT MAX(doc_id) FROM comp GROUP BY cluster_id)
+       OR d.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+)
+def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text near-dedup pipeline jobs/dedup.py runs, end-to-end
+    oracle-paired over the documents table: MinHash-LSH pair generation
+    (portable md5 twin, same banding semantics as production) →
+    large-star/small-star transitive closure → one canonical survivor
+    per dup cluster (max doc_id, "latest wins") plus every never-paired
+    document. The DuckDB oracle replays all three stages: the band
+    self-join, a recursive-CTE reachability closure, and per-cluster
+    argmax."""
+    from whakoom_webscrapper_spark.operators import components as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return C.dedup_canonical(
+        docs.select("doc_id", "lang"), pairs,
+        id_col="doc_id", src="doc_a", dst="doc_b",
+    )
+
