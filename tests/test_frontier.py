@@ -243,3 +243,56 @@ def test_crash_between_writes_and_marker_resumes_exact(spark, world, crawl_resul
         return seen, pages
 
     assert snapshot(d) == snapshot(cfg_full.state_dir)
+
+
+def test_crawl_output_feeds_the_ann_index_job(spark, crawl_result, capsys):
+    """Crawl → index → search, end-to-end across jobs: the pages table's
+    64-d image features are a real embedding corpus, so jobs/ann.py must
+    build a persisted IVFADC index from a crawl's output and answer
+    queries from disk — each queried page finds ITSELF at rank 1 with
+    cos_sim ~= 1 (the self-vector is in the corpus, its home cell is
+    always probed)."""
+    import json
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"),
+    )
+    import ann as ann_job
+
+    cfg, _ = crawl_result
+    d = tempfile.mkdtemp(prefix="crawl_ann_")
+    pages = spark.read.parquet(f"{cfg.state_dir}/pages").where(
+        F.col("embedding").isNotNull()
+    )
+    pages.select("page_id", "embedding").write.parquet(f"{d}/corpus")
+    qids = [r["page_id"] for r in pages.select("page_id").orderBy("page_id").limit(3).collect()]
+    pages.where(F.col("page_id").isin(qids)).select(
+        F.col("page_id").alias("query_id"), "embedding"
+    ).write.parquet(f"{d}/queries")
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["ann.py"] + argv
+        try:
+            ann_job.main()
+        finally:
+            sys.argv = old
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    stats = run(["build", "--input", f"{d}/corpus", "--out", f"{d}/ix",
+                 "--id-col", "page_id", "--n-centroids", "16"])
+    assert stats["rows_indexed"] == pages.count()
+    run(["query", "--index", f"{d}/ix", "--queries", f"{d}/queries",
+         "--k", "3", "--nprobe", "4", "--id-col", "page_id",
+         "--out", f"{d}/hits"])
+    top1 = {
+        r["query_id"]: (r["page_id"], r["cos_sim"])
+        for r in spark.read.parquet(f"{d}/hits").where(F.col("rank") == 1).collect()
+    }
+    assert set(top1) == set(qids)
+    for qid, (pid, sim) in top1.items():
+        assert pid == qid
+        assert sim > 0.9999
+    shutil.rmtree(d, ignore_errors=True)
