@@ -49,12 +49,17 @@ def build(args) -> None:
         sample=sample, centroids=cents,
     )
     os.makedirs(args.out, exist_ok=True)
-    np.savez(os.path.join(args.out, "codebooks.npz"),
-             centroids=cents, codebooks=books)
     t0 = time.monotonic()
     coded = S.ivf_pq_encode(corpus, cents, books, args.id_col, args.vec_col)
     coded.write.mode("overwrite").parquet(os.path.join(args.out, "coded"))
     n = spark.read.parquet(os.path.join(args.out, "coded")).count()
+    # codebooks.npz is the COMMIT RECORD, written last via tmp+rename:
+    # a crash mid-build leaves a coded dir but no npz, and query()
+    # refuses an index without one — same marker-last discipline as the
+    # crawl's epoch commits
+    tmp = os.path.join(args.out, f".codebooks.{os.getpid()}.tmp.npz")
+    np.savez(tmp, centroids=cents, codebooks=books)
+    os.replace(tmp, os.path.join(args.out, "codebooks.npz"))
     print(json.dumps({
         "rows_indexed": n,
         "encode_s": round(time.monotonic() - t0, 3),
@@ -67,7 +72,13 @@ def build(args) -> None:
 
 def query(args) -> None:
     spark = get_spark(app_name="ann_query", master=args.master)
-    ix = np.load(os.path.join(args.index, "codebooks.npz"))
+    npz = os.path.join(args.index, "codebooks.npz")
+    if not os.path.exists(npz):
+        raise SystemExit(
+            f"{args.index} has no codebooks.npz — the index build did not "
+            "commit (npz is written last); re-run jobs/ann.py build"
+        )
+    ix = np.load(npz)
     coded = spark.read.parquet(os.path.join(args.index, "coded"))
     queries = spark.read.parquet(args.queries)
     t0 = time.monotonic()

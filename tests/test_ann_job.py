@@ -70,3 +70,30 @@ def test_ann_index_build_then_query_from_disk(spark, capsys):
         len(exact[qid] & got.get(qid, set())) / len(exact[qid]) for qid in exact
     ) / len(exact)
     assert recall >= 0.9, f"from-disk index recall {recall}"
+
+
+def test_query_refuses_uncommitted_index(spark, capsys, tmp_path):
+    """codebooks.npz is the build's commit record (written last, via
+    tmp+rename): a crash mid-build leaves coded data but no npz, and
+    query must refuse it loudly instead of serving a half-built index."""
+    import pytest
+
+    (tmp_path / "ix").mkdir()
+    with pytest.raises(SystemExit, match="did not[\\s\\S]*commit"):
+        _run(
+            ["query", "--index", str(tmp_path / "ix"),
+             "--queries", "/nonexistent.parquet"],
+            capsys,
+        )
+
+
+def test_trainers_raise_on_empty_corpus(spark):
+    empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.lit(False)
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.train_centroids(empty)
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.train_pq(empty)

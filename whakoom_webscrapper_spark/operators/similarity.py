@@ -269,6 +269,11 @@ def _sample_matrix(
         .limit(sample_limit)
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError(
+            "cannot train a quantizer on an empty corpus (no rows in "
+            f"{vec_col})"
+        )
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
 
