@@ -32,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from whakoom_webscrapper_spark.operators import similarity as S  # noqa: E402
 from whakoom_webscrapper_spark.session import get_spark  # noqa: E402
@@ -39,7 +40,11 @@ from whakoom_webscrapper_spark.session import get_spark  # noqa: E402
 
 def build(args) -> None:
     spark = get_spark(app_name="ann_build", master=args.master)
-    corpus = spark.read.parquet(args.input)
+    # failed decodes leave null embeddings in a crawl's pages table;
+    # they carry no vector to index
+    corpus = spark.read.parquet(args.input).where(
+        F.col(args.vec_col).isNotNull()
+    )
     sample = S._sample_matrix(corpus, 50_000, args.id_col, args.vec_col)
     cents = S.train_centroids(
         corpus, n_centroids=args.n_centroids, dim=args.dim, sample=sample
