@@ -45,16 +45,25 @@ def build(args) -> None:
     corpus = spark.read.parquet(args.input).where(
         F.col(args.vec_col).isNotNull()
     )
+    t0 = time.monotonic()
     sample = S._sample_matrix(corpus, 50_000, args.id_col, args.vec_col)
+    # infer dim from the data unless pinned; a wrong --dim must error
+    # loudly in train_pq, never silently quantize a prefix
+    dim = args.dim if args.dim else sample.shape[1]
     cents = S.train_centroids(
-        corpus, n_centroids=args.n_centroids, dim=args.dim, sample=sample
+        corpus, n_centroids=args.n_centroids, dim=dim, sample=sample
     )
     books = S.train_pq(
-        corpus, m=args.m, n_codes=args.n_codes, dim=args.dim,
+        corpus, m=args.m, n_codes=args.n_codes, dim=dim,
         sample=sample, centroids=cents,
     )
     os.makedirs(args.out, exist_ok=True)
-    t0 = time.monotonic()
+    # rebuilding into an existing index dir: invalidate the old commit
+    # record FIRST, so a crash while overwriting coded can never leave
+    # stale codebooks next to new codes
+    npz = os.path.join(args.out, "codebooks.npz")
+    if os.path.exists(npz):
+        os.remove(npz)
     coded = S.ivf_pq_encode(corpus, cents, books, args.id_col, args.vec_col)
     coded.write.mode("overwrite").parquet(os.path.join(args.out, "coded"))
     n = spark.read.parquet(os.path.join(args.out, "coded")).count()
@@ -64,13 +73,15 @@ def build(args) -> None:
     # crawl's epoch commits
     tmp = os.path.join(args.out, f".codebooks.{os.getpid()}.tmp.npz")
     np.savez(tmp, centroids=cents, codebooks=books)
-    os.replace(tmp, os.path.join(args.out, "codebooks.npz"))
+    os.replace(tmp, npz)
+    code_bits = max(1, (args.n_codes - 1).bit_length())
     print(json.dumps({
         "rows_indexed": n,
-        "encode_s": round(time.monotonic() - t0, 3),
+        "index_build_s": round(time.monotonic() - t0, 3),
         "n_centroids": args.n_centroids,
+        "dim": dim,
         "pq": {"m": args.m, "n_codes": args.n_codes},
-        "bytes_per_vector_codes": args.m,
+        "bytes_per_vector_codes": args.m * ((code_bits + 7) // 8),
         "index_dir": args.out,
     }))
 
@@ -96,7 +107,7 @@ def query(args) -> None:
         id_col=args.id_col,
         vec_col=args.vec_col,
         centroids=ix["centroids"],
-        codebooks=ix["codebooks"],
+        residual_codebooks=ix["codebooks"],
         coded=coded,
     )
     if args.out:
@@ -121,7 +132,8 @@ def main() -> None:
     b.add_argument("--out", required=True, help="index directory")
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
-    b.add_argument("--dim", type=int, default=64)
+    b.add_argument("--dim", type=int, default=None,
+                   help="embedding width; default: inferred from the data")
     b.add_argument("--n-centroids", type=int, default=256)
     b.add_argument("--m", type=int, default=8)
     b.add_argument("--n-codes", type=int, default=256)

@@ -8,29 +8,19 @@ index artifact is the whole state a query session needs.
 
 from __future__ import annotations
 
-import json
 import os
-import sys
 import tempfile
 
+import ann as ann_job
 from pyspark.sql import functions as F
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "jobs"))
-import ann as ann_job  # noqa: E402
-
-from whakoom_webscrapper_spark import datagen  # noqa: E402
-from whakoom_webscrapper_spark.operators import similarity as S  # noqa: E402
+from tests.conftest import run_job
+from whakoom_webscrapper_spark import datagen
+from whakoom_webscrapper_spark.operators import similarity as S
 
 
 def _run(argv, capsys):
-    old = sys.argv
-    sys.argv = ["ann.py"] + argv
-    try:
-        ann_job.main()
-    finally:
-        sys.argv = old
-    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    return run_job(ann_job, argv, capsys)
 
 
 def test_ann_index_build_then_query_from_disk(spark, capsys):

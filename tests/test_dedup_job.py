@@ -10,18 +10,14 @@ latest-wins policy and --prefer ranking.
 
 from __future__ import annotations
 
-import json
 import os
-import sys
 import tempfile
 
+import dedup as dedup_job
 import pytest
 from pyspark.sql import functions as F
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
-)
-import dedup as dedup_job  # noqa: E402
+from tests.conftest import run_job
 
 
 @pytest.fixture(scope="module")
@@ -50,14 +46,7 @@ def table(spark):
 
 
 def _run(argv, capsys):
-    old = sys.argv
-    sys.argv = ["dedup.py"] + argv
-    try:
-        dedup_job.main()
-    finally:
-        sys.argv = old
-    out = capsys.readouterr().out.strip().splitlines()
-    return json.loads(out[-1])
+    return run_job(dedup_job, argv, capsys)
 
 
 def test_exact_dedup_latest_wins(spark, table, capsys):

@@ -252,14 +252,9 @@ def test_crawl_output_feeds_the_ann_index_job(spark, crawl_result, capsys):
     queries from disk — each queried page finds ITSELF at rank 1 with
     cos_sim ~= 1 (the self-vector is in the corpus, its home cell is
     always probed)."""
-    import json
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"),
-    )
     import ann as ann_job
+
+    from tests.conftest import run_job
 
     cfg, _ = crawl_result
     d = tempfile.mkdtemp(prefix="crawl_ann_")
@@ -272,21 +267,20 @@ def test_crawl_output_feeds_the_ann_index_job(spark, crawl_result, capsys):
         F.col("page_id").alias("query_id"), "embedding"
     ).write.parquet(f"{d}/queries")
 
-    def run(argv):
-        old = sys.argv
-        sys.argv = ["ann.py"] + argv
-        try:
-            ann_job.main()
-        finally:
-            sys.argv = old
-        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-
-    stats = run(["build", "--input", f"{d}/corpus", "--out", f"{d}/ix",
-                 "--id-col", "page_id", "--n-centroids", "16"])
+    stats = run_job(
+        ann_job,
+        ["build", "--input", f"{d}/corpus", "--out", f"{d}/ix",
+         "--id-col", "page_id", "--n-centroids", "16"],
+        capsys,
+    )
     assert stats["rows_indexed"] == pages.count()
-    run(["query", "--index", f"{d}/ix", "--queries", f"{d}/queries",
+    run_job(
+        ann_job,
+        ["query", "--index", f"{d}/ix", "--queries", f"{d}/queries",
          "--k", "3", "--nprobe", "4", "--id-col", "page_id",
-         "--out", f"{d}/hits"])
+         "--out", f"{d}/hits"],
+        capsys,
+    )
     top1 = {
         r["query_id"]: (r["page_id"], r["cos_sim"])
         for r in spark.read.parquet(f"{d}/hits").where(F.col("rank") == 1).collect()

@@ -214,7 +214,7 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
     books = S.train_pq(corpus, m=8, n_codes=256, dim=64, centroids=cents)
     topk = S.ivf_pq_topk(
         corpus, q, k=10, nprobe=5, shortlist=64,
-        centroids=cents, codebooks=books,
+        centroids=cents, residual_codebooks=books,
     )
     cand = S.ivf_candidates(corpus, q, nprobe=5, centroids=cents)
     recall, frac = _recall_and_frac(spark, corpus, q, n_corpus, topk, cand)

@@ -76,13 +76,14 @@ def main() -> None:
     # the PQ codes / IVF cells are stored index columns per corpus
     # version, not per query batch. PQ codebooks for the composed path
     # are RESIDUAL-trained (see train_pq docstring).
+    t0 = time.monotonic()  # index build = sample + train + encode+persist
     sample = S._sample_matrix(corpus, 50_000, "vec_id", "embedding")
     cents = S.train_centroids(
         corpus, n_centroids=args.n_centroids, sample=sample
     )
     books_raw = S.train_pq(corpus, sample=sample)
     books_res = S.train_pq(corpus, sample=sample, centroids=cents)
-    t0 = time.monotonic()
+    train_s = round(time.monotonic() - t0, 3)
     coded_raw = S.pq_encode(corpus, books_raw).persist()
     coded_raw.count()
     coded_res = S.ivf_pq_encode(corpus, cents, books_res).persist()
@@ -104,7 +105,7 @@ def main() -> None:
         ),
         "ivfpq": lambda: S.ivf_pq_topk(
             corpus, q, k=K, nprobe=args.nprobe, shortlist=shortlist,
-            centroids=cents, codebooks=books_res, coded=coded_res,
+            centroids=cents, residual_codebooks=books_res, coded=coded_res,
         ),
     }
 
@@ -117,7 +118,8 @@ def main() -> None:
         "nprobe": args.nprobe,
         "pq": {"m": 8, "n_codes": 256, "shortlist": shortlist,
                "ivfpq_codebooks": "residual"},
-        "index_build_s": index_build_s,
+        "index_build_s": index_build_s,  # sample+train+encode+persist
+        "train_s": train_s,
         "reps": args.reps,
         "master": spark.sparkContext.master,
         "protocol": "interleaved whole-set reps; index trained once "

@@ -449,6 +449,11 @@ def train_pq(
         if sample is not None
         else _sample_matrix(corpus, sample_limit, id_col, vec_col)
     )
+    if Xn.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} but {vec_col} vectors are {Xn.shape[1]}-wide — "
+            "a silent slice would quantize only the first dim components"
+        )
     if centroids is not None:
         Xn = Xn - centroids[np.argmax(Xn @ centroids.T, axis=1)]
     rng = np.random.default_rng(seed)
@@ -697,7 +702,7 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
-    codebooks: np.ndarray | None = None,
+    residual_codebooks: np.ndarray | None = None,
     coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC — the full 10^10-vector composition: IVF routing decides
@@ -713,13 +718,15 @@ def ivf_pq_topk(
     assigns cell + residual codes together (ivf_pq_encode); candidates
     come from an equi-join on the cell id — a corpus row joins a query
     at most once (one home cell per row), so no dedup shuffle. Pass
-    ``centroids``/``codebooks`` to reuse a trained index across query
-    batches (both are plan constants; ``codebooks`` must be
-    residual-trained, i.e. ``train_pq(..., centroids=centroids)``), and
-    ``coded`` (a persisted ``ivf_pq_encode`` output for the same
-    centroids+codebooks) to skip re-encoding — in production the cell
-    and codes are stored index columns, built once per corpus version,
-    not per query batch."""
+    ``centroids``/``residual_codebooks`` to reuse a trained index across
+    query batches (both are plan constants; the parameter name is the
+    contract — codebooks MUST be residual-trained against these same
+    centroids, ``train_pq(..., centroids=centroids)``; raw-trained
+    codebooks would silently mis-score), and ``coded`` (a persisted
+    ``ivf_pq_encode`` output for the same centroids+codebooks) to skip
+    re-encoding — in production the cell and codes are stored index
+    columns, built once per corpus version, not per query batch."""
+    codebooks = residual_codebooks
     if centroids is None or codebooks is None:
         # one sample collection trains both quantizers
         sample = _sample_matrix(corpus, 50_000, id_col, vec_col)
