@@ -39,14 +39,23 @@ from whakoom_webscrapper_spark.session import get_spark
 
 def build_pairs(df, args):
     if args.method == "exact":
-        h = df.select(
-            F.col(args.id_col).alias("_id"), F.xxhash64(args.text_col).alias("_h")
+        # Null text would hash to the seed for every such row (Spark's
+        # xxhash64 skips null inputs), merging all null-text docs into one
+        # giant bogus cluster; and at 10^10 rows 64-bit collisions make
+        # occasional false hash-merges expected. So: drop nulls up front and
+        # keep the raw-text equality in the join — the hash is only a
+        # shuffle-key prefilter, never the correctness criterion.
+        h = df.filter(F.col(args.text_col).isNotNull()).select(
+            F.col(args.id_col).alias("_id"),
+            F.xxhash64(args.text_col).alias("_h"),
+            F.col(args.text_col).alias("_t"),
         )
         a, b = h.alias("a"), h.alias("b")
         return (
             a.join(
                 b,
                 (F.col("a._h") == F.col("b._h"))
+                & (F.col("a._t") == F.col("b._t"))
                 & (F.col("a._id") < F.col("b._id")),
             )
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -57,9 +66,20 @@ def build_pairs(df, args):
             df, text_col=args.text_col, id_col=args.id_col
         ).select("id_a", "id_b")
     if args.method == "simhash":
+        if args.max_hamming > 3:
+            # simhash_dup_pairs with n_bands=4 only guarantees recall for
+            # radius <= 3; silently shrinking the requested radius would
+            # understate the operating point (hamming_dup_pairs raises in
+            # the analogous situation — same no-silent-degradation contract).
+            raise ValueError(
+                f"--max-hamming {args.max_hamming} exceeds 3, the largest "
+                "radius the simhash band structure (4 bands) guarantees "
+                "recall for; use --method phash/hamming banding for wider "
+                "radii or lower --max-hamming"
+            )
         sims = D.simhash(df, text_col=args.text_col, id_col=args.id_col)
         return D.simhash_dup_pairs(
-            sims, id_col=args.id_col, max_hamming=min(args.max_hamming, 3)
+            sims, id_col=args.id_col, max_hamming=args.max_hamming
         ).select("id_a", "id_b")
     if args.method == "phash":
         return D.hamming_dup_pairs(

@@ -96,6 +96,38 @@ def test_exact_dedup_prefer_column(spark, table, capsys):
     assert surv == set(range(10))
 
 
+def test_exact_dedup_ignores_null_text(spark, capsys):
+    """Null-text rows must not be clustered together (Spark's xxhash64
+    returns the seed for all-null input, so without the filter every
+    null-text row would collide into one giant bogus component)."""
+    d = tempfile.mkdtemp(prefix="dedup_null_")
+    path = os.path.join(d, "docs")
+    rows = [(0, "same"), (1, "same"), (2, None), (3, None), (4, None)]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    stats = _run(
+        ["--input", path, "--id-col", "doc_id", "--method", "exact",
+         "--text-col", "text"],
+        capsys,
+    )
+    # only the real duplicate pair (0,1) clusters; null-text rows survive
+    assert stats["dup_pairs"] == 1
+    assert stats["clusters"] == 1
+    assert stats["rows_out"] == 4  # 5 - 1 dropped duplicate
+
+
+def test_simhash_refuses_wide_radius(spark, table, capsys):
+    """--max-hamming > 3 exceeds what the 4-band simhash structure
+    guarantees recall for; the job must refuse, not silently clamp."""
+    with pytest.raises(ValueError, match="max-hamming"):
+        _run(
+            ["--input", table, "--id-col", "doc_id", "--method", "simhash",
+             "--text-col", "longtext", "--max-hamming", "6"],
+            capsys,
+        )
+
+
 def test_minhash_method_runs(spark, table, capsys):
     stats = _run(
         ["--input", table, "--id-col", "doc_id", "--method", "minhash",

@@ -301,3 +301,21 @@ def test_pq_empty_query_batch(spark):
     out = S.pq_topk(corpus, q.where(F.lit(False)), k=5)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "cos_sim", "rank"}
+
+
+def test_coded_without_codebooks_is_rejected(spark):
+    """A persisted coded frame is only meaningful relative to the
+    codebooks that produced it; retraining fresh codebooks against old
+    codes would silently mis-rank — both entry points must refuse."""
+    import pytest
+
+    corpus, q = _tables(spark)
+    cents = S.train_centroids(corpus, n_centroids=16, dim=64)
+    books = S.train_pq(corpus, m=8, n_codes=16, dim=64, centroids=cents)
+    coded = S.ivf_pq_encode(corpus, cents, books)
+    with pytest.raises(ValueError, match="codebooks"):
+        S.pq_topk(corpus, q, k=5, coded=coded)
+    with pytest.raises(ValueError, match="codebooks"):
+        S.ivf_pq_topk(corpus, q, k=5, coded=coded, centroids=cents)
+    with pytest.raises(ValueError, match="codebooks"):
+        S.ivf_pq_topk(corpus, q, k=5, coded=coded, residual_codebooks=books)

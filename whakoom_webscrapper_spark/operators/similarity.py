@@ -643,6 +643,16 @@ def pq_topk(
     ``coded`` (a persisted ``pq_encode`` output for the SAME codebooks)
     to skip re-encoding — in production the codes are a stored index
     column, built once per corpus version, not per query batch."""
+    if coded is not None and codebooks is None:
+        # A coded frame is only meaningful relative to the codebooks that
+        # produced it; retraining fresh codebooks here would build query
+        # LUTs scored against codes from a potentially older corpus and
+        # silently mis-rank. Enforce the documented 'same codebooks'
+        # contract instead of trusting the caller's convention.
+        raise ValueError(
+            "pq_topk: `coded` was provided without `codebooks` — pass the "
+            "codebooks that encoded it (jobs/ann.py persists both together)"
+        )
     if codebooks is None:
         codebooks = train_pq(
             corpus, m, n_codes, dim, vec_col=vec_col, id_col=id_col, seed=seed
@@ -727,6 +737,15 @@ def ivf_pq_topk(
     re-encoding — in production the cell and codes are stored index
     columns, built once per corpus version, not per query batch."""
     codebooks = residual_codebooks
+    if coded is not None and (centroids is None or codebooks is None):
+        # Same contract as pq_topk: persisted codes are only meaningful
+        # relative to the centroids+codebooks that produced them —
+        # retraining here would silently mis-score the stored codes.
+        raise ValueError(
+            "ivf_pq_topk: `coded` was provided without `centroids` and "
+            "`residual_codebooks` — pass the index that encoded it "
+            "(jobs/ann.py persists all three together)"
+        )
     if centroids is None or codebooks is None:
         # one sample collection trains both quantizers
         sample = _sample_matrix(corpus, 50_000, id_col, vec_col)
