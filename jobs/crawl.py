@@ -61,6 +61,11 @@ def main() -> None:
                          "SortMergeJoin fallback — the beyond-broadcast "
                          "path benched next to the default")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--profile-phases", action="store_true",
+                    help="force each phase at its timer boundary so the "
+                         "per-epoch decomposition attributes execution "
+                         "cost truthfully (adds jobs — decomposition "
+                         "probes only, not throughput campaigns)")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -102,6 +107,7 @@ def main() -> None:
         fetch_join=args.fetch_join,
         bucketed_linkgraph=bucketed_lg,
         bucketed_images=bucketed_im,
+        profile_phases=args.profile_phases,
     )
     t0 = time.perf_counter()
     result = FP.crawl(spark, cfg, resume=args.resume, overwrite=args.overwrite)
@@ -119,9 +125,13 @@ def main() -> None:
                 "wall_s": round(wall, 2),
                 "urls_per_sec": round(result["total_fetched"] / wall, 1),
                 "master": spark.sparkContext.master,
-                # per-epoch decomposition for the scaling evidence: epoch
-                # wall + phase timers (admit/fetch_validate/resolve/
-                # frontier_build/writes) straight from the commit markers
+                # per-epoch decomposition straight from the commit
+                # markers. Default keys are plan_*/exec_* — honest names
+                # for lazy execution (almost all wall lands in
+                # exec_frontier_build, which holds the first action);
+                # --profile-phases forces each phase at its boundary so
+                # admit/fetch_validate/resolve/frontier_build/writes
+                # carry their true execution share
                 "epoch_stats": [
                     {
                         "epoch": s["epoch"],

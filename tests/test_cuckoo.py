@@ -151,6 +151,34 @@ def test_incremental_distributed_fold_matches_rebuild(spark):
     assert filt.may_contain_many(k1).all() and filt.may_contain_many(k2).all()
 
 
+def test_distributed_delete_matches_driver_delete(spark):
+    """delete_keys_distributed ≡ delete_many on the driver: same found
+    count, identical post-delete membership on kept keys, deleted keys
+    gone (no colliding-fp keeper in this keyspace) — the fold that
+    replaced the O(|batch|) Row collect in re-crawl invalidation."""
+    from whakoom_webscrapper_spark.operators.cuckoo import (
+        delete_keys_distributed,
+    )
+
+    keys = np.unique(_keys(30_000, 15))
+    dele, keep = keys[: len(keys) // 2], keys[len(keys) // 2:]
+    a = ShardedCuckoo.sized_for(30_000, n_shards=4)
+    a.add_many(keys)
+    b = ShardedCuckoo.sized_for(30_000, n_shards=4)
+    b.add_many(keys)
+
+    df = spark.createDataFrame(
+        [(int(k),) for k in dele], "url_hash long").repartition(8)
+    found_dist, total = delete_keys_distributed(a, df, "url_hash")
+    found_drv = int(b.delete_many(dele).sum())
+    assert total == len(dele)
+    assert found_dist == found_drv == len(dele)
+    # bit-for-bit identical membership answers on both populations
+    probe = np.concatenate([dele, keep, _keys(20_000, 16)])
+    assert (a.may_contain_many(probe) == b.may_contain_many(probe)).all()
+    assert a.may_contain_many(keep).all()
+
+
 def test_prefilter_split_is_exact_partition(spark):
     keys = np.unique(_keys(5_000, 14))
     filt = ShardedCuckoo.sized_for(5_000, n_shards=4)

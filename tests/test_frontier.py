@@ -290,3 +290,46 @@ def test_crawl_output_feeds_the_ann_index_job(spark, crawl_result, capsys):
         assert pid == qid
         assert sim > 0.9999
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_phase_timers_lazy_names_and_profiled_attribution(spark, world,
+                                                          crawl_result):
+    """Phase-timer honesty (r4 verdict: 99% of wall landed in
+    'frontier_build' because execution is lazy). Default mode now names
+    the intervals for what they contain (plan_*/exec_*); profiled mode
+    forces each phase's persisted frame at its mark() boundary, so the
+    plain-named timers tile the epoch wall and fetch_validate owns its
+    real (decode/validate) share instead of ~0."""
+    _, lazy_result = crawl_result
+    lazy0 = lazy_result["stats"][0]
+    assert not lazy0["phases_profiled"]
+    assert set(lazy0["phases"]) == {
+        "plan_admit", "plan_fetch_validate", "plan_resolve",
+        "exec_frontier_build", "exec_writes",
+    }
+
+    d = tempfile.mkdtemp(prefix="state_prof_")
+    cfg = FP.CrawlConfig(state_dir=d, world_dir=world,
+                         max_epochs=MAX_EPOCHS, frontier_partitions=8,
+                         profile_phases=True)
+    result = FP.crawl(spark, cfg)
+    # profiling must not change WHAT is crawled, only when plans execute
+    assert result["total_fetched"] == lazy_result["total_fetched"]
+    assert [s["fetched"] for s in result["stats"]] == [
+        s["fetched"] for s in lazy_result["stats"]
+    ]
+    for s in result["stats"]:
+        assert s["phases_profiled"]
+        assert set(s["phases"]) == {
+            "admit", "fetch_validate", "resolve", "frontier_build", "writes",
+        }
+        # the timers tile t0→writes; only post-write stats bookkeeping
+        # may fall outside
+        assert sum(s["phases"].values()) >= 0.8 * s["duration_s"]
+    # with attribution forced, the epoch-0 fetch/validate phase performs
+    # the decode work — it can no longer be the ~0s sliver the lazy mode
+    # recorded while frontier_build held every job
+    prof0 = result["stats"][0]["phases"]
+    assert prof0["fetch_validate"] > 0.0
+    assert prof0["fetch_validate"] >= 0.05 * sum(prof0.values())
+    shutil.rmtree(d, ignore_errors=True)

@@ -338,6 +338,67 @@ def add_keys_distributed(filt: ShardedCuckoo, df: DataFrame,
     return _merge_shard_rows(filt, _shard_table_rows(df, key_col, filt))
 
 
+_CUCKOO_KEYCELL_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("keys", T.BinaryType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+
+def delete_keys_distributed(
+    filt: ShardedCuckoo, df: DataFrame, key_col: str
+) -> tuple[int, int]:
+    """Bulk delete without an O(|batch|) driver collect: executors pack
+    each partition's keys into per-shard int64 cells (mapInPandas, raw
+    ``tobytes`` — no Row objects), and the driver STREAMS them with
+    ``toLocalIterator``, deleting shard-by-shard as cells arrive. Peak
+    driver residency is one partition's packed cells (8 bytes/key for
+    that slice), not the whole batch — the delete-side mirror of
+    ``add_keys_distributed``'s bounded-transfer contract. Deletion is
+    information-theoretically O(|batch|) total bytes (unlike inserts,
+    deleted keys are not re-derivable from folded tables), so the win
+    here is the constant factor and the bounded residency; for batches
+    large enough that even streamed transfer hurts, callers should skip
+    live deletes entirely (ledger-only mode in plans/frontier.py) and
+    let resume rebuild distributed.
+
+    Caller contract (same as ``delete_many``): keys must be distinct and
+    actually inserted — deleting an absent key can evict a colliding
+    fingerprint. Returns (found, total) counts."""
+    n_shards = filt.n_shards
+
+    def per_partition(iterator):
+        bufs: dict[int, list[np.ndarray]] = {}
+        for pdf in iterator:
+            kv = pdf[key_col].values.astype(np.int64)
+            if not len(kv):
+                continue
+            s = kv % np.int64(n_shards)
+            for b in np.unique(s):
+                bufs.setdefault(int(b), []).append(kv[s == b])
+        if bufs:
+            yield pd.DataFrame(
+                [
+                    {
+                        "shard": b,
+                        "keys": np.concatenate(parts).tobytes(),
+                        "n_keys": int(sum(len(p) for p in parts)),
+                    }
+                    for b, parts in sorted(bufs.items())
+                ]
+            )
+
+    cells = df.select(key_col).mapInPandas(per_partition, _CUCKOO_KEYCELL_SCHEMA)
+    found = total = 0
+    for row in cells.toLocalIterator():
+        kv = np.frombuffer(row["keys"], dtype=np.int64)
+        found += int(filt.shards[row["shard"]].delete_many(kv).sum())
+        total += len(kv)
+    return found, total
+
+
 def prefilter_maybe_seen(df: DataFrame, key_col: str, filt: ShardedCuckoo,
                          spark) -> tuple[DataFrame, DataFrame]:
     """Split df into (definitely_new, maybe_seen); same contract and

@@ -12,6 +12,8 @@ ladder, each one here a pure DataFrame transform:
   hamming_dup_pairs  combination-block banding over any     (near-dup, perceptual —
                      64-bit hash column (pHash images)       images via stored phash)
   ngram Jaccard      shingle blocking + exact Jaccard       (near-dup, exact sim)
+  token_span_rows    k-token span hashes at a stride        (exact-substring /
+                     → repeated-passage stats + removal      passage-level dedup)
   embedding cosine   see operators/similarity.py            (semantic)
 
 All hashing is portable md5-arithmetic when an oracle needs to reproduce
@@ -133,6 +135,68 @@ def _shingle_rows(
         )
     )
     return df.select(F.col(id_col), F.explode(sh).alias("_sh"))
+
+
+def token_span_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 10,
+    stride: int = 1,
+    pos_col: str = "_pos",
+    span_col: str = "_span",
+) -> DataFrame:
+    """(id, pos, span) k-token span rows at the given stride — the unit
+    of exact-substring (passage-level) dedup, the rung of the dedup
+    ladder between whole-document exact dedup and shingle near-dup:
+    cross-document repeated PASSAGES inside otherwise-distinct documents
+    (the Lee-et-al-style exact-substring pass every production LLM
+    corpus runs). The reference has no analog — its dedup unit is a URL
+    (reference: pipelines.py:32-34).
+
+    Tokenization matches ``_shingle_rows`` exactly (lowercase, trim,
+    whitespace-run split); positions are 1-based, ``1, 1+stride, …`` up
+    to the last full-span start ``n - span_k + 1``. Documents shorter
+    than ``span_k`` tokens yield ONE whole-document span at pos 1, so
+    every non-null document is represented. Null text yields no rows.
+
+    - ``stride == 1`` (every position): detection — ANY repeated run of
+      ``span_k`` tokens is caught wherever the copies sit. This is the
+      guaranteed mode; the row fan-out (n_tokens - span_k + 1 per doc)
+      is LESS than the 3-gram shingle path already pays (n_tokens - 2).
+    - ``stride > 1`` (sampled positions): only copies whose start
+      offsets are congruent mod ``stride`` share an identical span, so
+      this is a cheaper PROBABILISTIC detector, not a guarantee — use it
+      only when a miss is acceptable.
+    - ``stride == span_k`` (disjoint chunks): removal — kept chunks
+      concatenate back into a dedup'd document with no double-counted
+      tokens.
+
+    At 10^10 docs everything downstream is a groupBy/join on the span
+    hash — uniform keys, no all-pairs."""
+    if stride < 1 or span_k < 1:
+        raise ValueError(f"span_k={span_k} and stride={stride} must be >= 1")
+    df = with_min_parallelism(df)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    w = df.select(F.col(id_col), words.alias("_w"))
+    pos = w.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_w") - F.lit(span_k - 1), F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias(pos_col),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.col(pos_col),
+        F.array_join(
+            F.slice(F.col("_w"), F.col(pos_col), span_k), " "
+        ).alias(span_col),
+    )
 
 
 def lsh_candidate_pairs_fast(

@@ -137,6 +137,16 @@ class CrawlConfig:
     broadcast_fetch_max: int = 2_000_000
     bucketed_linkgraph: str | None = None
     bucketed_images: str | None = None
+    # True → force each phase's persisted frame at its mark() boundary so
+    # the per-epoch phase timers attribute EXECUTION time to the phase
+    # that did the work. Execution is lazy by default, so without this
+    # nearly all wall lands in the phase holding the first action (the
+    # frontier count) — the default keys are therefore plan_*/exec_*
+    # (honest names for "driver time between plan-construction points").
+    # Profiling adds one count() job per phase and removes the
+    # write-thread overlap of compute, so it changes throughput: keep it
+    # OFF for scaling campaigns, ON only for decomposition probes.
+    profile_phases: bool = False
     stats: list = field(default_factory=list)
 
 
@@ -268,6 +278,7 @@ def invalidate_urls(
     urls_df: DataFrame,
     filt: ShardedBloom | CK.ShardedCuckoo | None = None,
     discovery_time: int = 0,
+    max_live_delete: int = 5_000_000,
 ) -> dict:
     """Re-crawl invalidation — the deletion use-case the cuckoo backend
     exists for (U7; reference parity: Scrapy can only re-crawl by
@@ -290,12 +301,19 @@ def invalidate_urls(
       3. upsert frontier rows into ``frontier/epoch=<next>`` via the
          rename-swap protocol; rows still pending in the frontier keep
          their existing entry (ordering determinism unchanged)
-      4. maintain the live filter: cuckoo deletes the keys in place
-         (driver-side ``delete_many`` — O(batch), the filter object
-         lives on the driver between broadcasts anyway); Bloom cannot
-         delete → ``filter: rebuild_required`` (resume rebuilds from
-         the effective seen set regardless). For bulk invalidations
-         pass ``filt=None`` and let resume rebuild distributed.
+      4. maintain the live filter: cuckoo deletes the keys via the
+         distributed per-shard fold (``CK.delete_keys_distributed`` —
+         executors pack per-shard key cells, the driver streams and
+         deletes shard-by-shard; peak driver residency is one
+         partition's packed cells, never the whole batch) as long as
+         the batch is ≤ ``max_live_delete``. Above that, ledger-only
+         mode: skip live deletes (``filter: ledger_only``) — the cuckoo
+         then over-approximates exactly like Bloom until a resume
+         rebuild, which is safe because the prefilter's maybe-seen rows
+         always face the exact anti-join against the EFFECTIVE seen set
+         (read_seen subtracts this ledger), so re-enqueued URLs crawl
+         again in either mode. Bloom cannot delete at all →
+         ``filter: rebuild_required`` (same over-approximation story).
     """
     import uuid as _uuid
 
@@ -327,14 +345,15 @@ def invalidate_urls(
 
     filter_mode = "none"
     if isinstance(filt, CK.ShardedCuckoo):
-        import numpy as np
-
-        keys = np.fromiter(
-            (r["url_hash"] for r in rows.select("url_hash").collect()),
-            dtype=np.int64,
-        )
-        found = filt.delete_many(keys)
-        filter_mode = f"deleted:{int(found.sum())}"
+        if n <= max_live_delete:
+            found, _total = CK.delete_keys_distributed(filt, rows, "url_hash")
+            filter_mode = f"deleted:{found}"
+        else:
+            # bulk revocation: even streamed O(|batch|) key transfer is
+            # not worth it — leave the filter over-approximate (the
+            # exact anti-join vs the effective seen set keeps
+            # correctness) and let resume rebuild distributed
+            filter_mode = "ledger_only"
     elif isinstance(filt, ShardedBloom):
         filter_mode = "rebuild_required"
 
@@ -410,11 +429,30 @@ def run_epoch(
     t0 = time.perf_counter()
     phases: dict[str, float] = {}
     _last = [t0]
+    # Lazy-mode keys say what the interval actually contains: plan
+    # construction for the first three (execution hasn't happened yet),
+    # execution of the whole upstream chain for the frontier count, and
+    # the write jobs. Profiled mode forces each phase's persisted frame
+    # at its boundary, so the plain names are then truthful.
+    _lazy_names = {
+        "admit": "plan_admit",
+        "fetch_validate": "plan_fetch_validate",
+        "resolve": "plan_resolve",
+        "frontier_build": "exec_frontier_build",
+        "writes": "exec_writes",
+    }
 
     def mark(name: str) -> None:
         now = time.perf_counter()
-        phases[name] = round(now - _last[0], 3)
+        key = name if cfg.profile_phases else _lazy_names[name]
+        phases[key] = round(now - _last[0], 3)
         _last[0] = now
+
+    def force(df: DataFrame) -> None:
+        # materialization boundary: populate the persisted frame NOW so
+        # the enclosing phase timer owns its execution cost
+        if cfg.profile_phases:
+            df.count()
 
     frontier = spark.read.parquet(_p(cfg, "frontier", f"epoch={epoch}"))
 
@@ -456,6 +494,8 @@ def run_epoch(
     n_admitted = -1
     if cfg.fetch_join == "auto" and cfg.bucketed_linkgraph is not None:
         n_admitted = admitted.count()
+    else:
+        force(admitted)
     mark("admit")
 
     # ---- fetch: lookup into the synthetic world (S2) ----
@@ -544,6 +584,7 @@ def run_epoch(
         .observe(obs_pages, F.count(F.lit(1)).alias("n"))
         .persist()
     )
+    force(pages)
     mark("fetch_validate")
     discovered = make_frontier_rows(
         discovered_urls, cfg, discovery_time=epoch + 1, eligible_epoch=epoch + 1
@@ -575,6 +616,7 @@ def run_epoch(
         .observe(obs_resolved, F.count(F.lit(1)).alias("n"))
         .persist()
     )
+    force(resolved)
     mark("resolve")
 
     # ---- next frontier: carry ∪ deferred ∪ retries ∪ discovered ----
@@ -704,6 +746,7 @@ def run_epoch(
         "frontier_next": n_next,
         "duration_s": round(time.perf_counter() - t0, 3),
         "phases": phases,
+        "phases_profiled": cfg.profile_phases,
     }
     with open(_commit_path(cfg, epoch), "w") as f:
         json.dump(stats, f)
