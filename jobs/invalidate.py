@@ -13,6 +13,12 @@ invalidations stay distributed end-to-end). Run OFFLINE — between
 crawls, single writer, like every state mutation. The next resume
 rebuilds its in-memory filter from the effective seen set, so no
 filter handling is needed here.
+
+``--ann-index <dir>`` additionally tombstones the revoked pages'
+vectors in a persisted ANN index (jobs/ann.py) in the same pass — the
+page ids are derived from the URLs exactly as the crawl derived them,
+so a re-crawled page's stale embedding stops serving the moment the
+invalidation commits, without an index rebuild.
 """
 
 from __future__ import annotations
@@ -34,6 +40,11 @@ def main() -> None:
     ap.add_argument("--urls", help="text file of URLs, one per line (- = stdin)")
     ap.add_argument("--urls-parquet",
                     help="parquet table with a `url` column (bulk path)")
+    ap.add_argument("--ann-index",
+                    help="persisted ANN index dir (jobs/ann.py) to "
+                         "tombstone the revoked pages' vectors in")
+    ap.add_argument("--ann-id-col", default="page_id",
+                    help="id column the index was built on")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if bool(args.urls) == bool(args.urls_parquet):
@@ -51,6 +62,16 @@ def main() -> None:
         urls_df = spark.createDataFrame([(u,) for u in urls], ["url"])
 
     result = FP.invalidate_urls(spark, cfg, urls_df)
+    if args.ann_index:
+        import ann  # sibling job module (same dir)
+        from pyspark.sql import functions as F
+
+        from whakoom_webscrapper_spark.operators.fetch import page_id
+
+        ids = urls_df.select(page_id(F.col("url")).alias(args.ann_id_col))
+        result["ann"] = ann.write_tombstones(
+            spark, args.ann_index, ids, args.ann_id_col
+        )
     print(json.dumps(result))
 
 

@@ -105,6 +105,49 @@ def test_invalidate_recrawl_roundtrip(spark, world, crawled):
     assert _membership(spark, cfg) == before
 
 
+def test_ledger_only_mode_converges_like_live_delete(spark, world, crawled):
+    """Bulk invalidation path: above max_live_delete the cuckoo keeps the
+    revoked keys (over-approximate, like Bloom) and only the ledger
+    records the revocation. The EFFECTIVE seen membership and the
+    resumed re-crawl must be identical to live-delete mode — the filter
+    is a prefilter, never the correctness mechanism."""
+    cfg = crawled
+    urls = _some_fetched(spark, cfg)
+    urls_df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    hashes = np.array(
+        [
+            r["url_hash"]
+            for r in FP.make_frontier_rows(urls_df, cfg, 0, 0)
+            .select("url_hash").collect()
+        ],
+        dtype=np.int64,
+    )
+    filt = CK.build_cuckoo(
+        FP.read_seen(spark, cfg), "url_hash",
+        CK.ShardedCuckoo.sized_for(cfg.bloom_capacity, cfg.bloom_fpr,
+                                   cfg.bloom_shards),
+    )
+    before = _membership(spark, cfg)
+    res = FP.invalidate_urls(spark, cfg, urls_df, filt=filt,
+                             max_live_delete=0)
+    assert res["invalidated"] == len(urls)
+    assert res["filter"] == "ledger_only"
+    # filter over-approximates (keys still present) …
+    assert filt.may_contain_many(hashes).all()
+    # … but the effective view lost them regardless — same as live mode
+    eff = {r["url"] for r in FP.read_seen(spark, cfg).collect()}
+    assert set(urls).isdisjoint(eff)
+
+    # resume re-fetches exactly the invalidated URLs and membership
+    # converges back — identical end state to the live-delete roundtrip
+    cfg2 = FP.CrawlConfig(state_dir=cfg.state_dir, world_dir=world,
+                          max_epochs=100, frontier_partitions=8,
+                          seen_filter="cuckoo")
+    result = FP.crawl(spark, cfg2, resume=True)
+    assert result["total_fetched"] == len(urls)
+    assert _membership(spark, cfg) == before
+
+
 def test_invalidate_never_seen_is_noop(spark, crawled):
     cfg = crawled
     urls_df = spark.createDataFrame(
@@ -153,3 +196,63 @@ def test_bloom_backend_reports_rebuild(spark, crawled):
     res = FP.invalidate_urls(spark, cfg, urls_df, filt=filt)
     assert res["invalidated"] == len(urls)
     assert res["filter"] == "rebuild_required"
+
+
+def test_invalidate_propagates_to_ann_index(spark, crawled, capsys):
+    """--ann-index closes the r4 gap 'invalidation does not propagate to
+    the persisted ANN index': one jobs/invalidate.py pass revokes the
+    URLs from the crawl's seen set AND tombstones their vectors, so a
+    re-crawled page's stale embedding stops serving immediately —
+    rebuild-free (the compaction story lives in jobs/ann.py)."""
+    import ann as ann_job
+    import invalidate as inv_job
+
+    from tests.conftest import run_job
+    from whakoom_webscrapper_spark.operators.fetch import page_id
+
+    cfg = crawled
+    d = tempfile.mkdtemp(prefix="inv_ann_")
+    pages = (
+        spark.read.parquet(f"{cfg.state_dir}/pages")
+        .filter(F.col("embedding").isNotNull())
+        .dropDuplicates(["page_id"])
+    )
+    run_job(
+        ann_job,
+        ["build", "--input", f"{cfg.state_dir}/pages", "--out", f"{d}/ix",
+         "--id-col", "page_id", "--n-centroids", "16"],
+        capsys,
+    )
+    victims = [r["url"] for r in pages.select("url").orderBy("url")
+               .limit(3).collect()]
+    vic_ids = {
+        r["pid"]
+        for r in spark.createDataFrame([(u,) for u in victims], ["url"])
+        .select(page_id(F.col("url")).alias("pid")).collect()
+    }
+    # the victims' own vectors are their exact top-1 — the sharpest probe
+    pages.filter(F.col("page_id").isin(vic_ids)).select(
+        F.col("page_id").alias("query_id"), "embedding"
+    ).write.parquet(f"{d}/q")
+
+    with open(f"{d}/urls.txt", "w") as fh:
+        fh.write("\n".join(victims))
+    res = run_job(
+        inv_job,
+        ["--out", cfg.state_dir, "--urls", f"{d}/urls.txt",
+         "--ann-index", f"{d}/ix"],
+        capsys,
+    )
+    assert res["invalidated"] == len(victims)
+    assert res["ann"]["revoked"] == len(vic_ids)
+
+    run_job(
+        ann_job,
+        ["query", "--index", f"{d}/ix", "--queries", f"{d}/q",
+         "--k", "3", "--nprobe", "4", "--id-col", "page_id",
+         "--out", f"{d}/hits"],
+        capsys,
+    )
+    served = {r["page_id"] for r in spark.read.parquet(f"{d}/hits").collect()}
+    assert served.isdisjoint(vic_ids)
+    assert served  # neighbors still serve
