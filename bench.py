@@ -51,6 +51,9 @@ HEADLINE = [
     "text_stats",
     "lang_id_counts",
     "exact_dedup_stats",
+    "passage_dup_stats",  # exact-substring (span-hash) dedup (new in r5)
+    "passage_dedup_docs",  # its removal variant (new in r5)
+    "contamination_check",  # benchmark n-gram overlap (new in r5)
     "images_phash_neardup",  # image-payload near-dup (new in r4)
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

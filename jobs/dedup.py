@@ -96,11 +96,14 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet table to dedup")
     ap.add_argument("--id-col", required=True)
     ap.add_argument(
-        "--method", required=True, choices=["exact", "minhash", "simhash", "phash"]
+        "--method", required=True,
+        choices=["exact", "minhash", "simhash", "phash", "passage"],
     )
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--hash-col", default="phash", help="int64 hash col (phash)")
     ap.add_argument("--max-hamming", type=int, default=6)
+    ap.add_argument("--span-k", type=int, default=10,
+                    help="passage method: tokens per removal chunk")
     ap.add_argument(
         "--prefer",
         default=None,
@@ -114,6 +117,43 @@ def main() -> None:
     spark = get_spark(app_name="whakoom_dedup", master=args.master)
     df = spark.read.parquet(args.input)
     rows_in = df.count()
+    if args.method == "passage":
+        # Sub-document surgery, not row selection: every row survives,
+        # repeated SPAN_K-token chunks are cut from all but their
+        # globally-first occurrence and the text column is rewritten.
+        # Null-text rows pass through unchanged (passage_dedup emits no
+        # row for them — the left join + coalesce restores the original).
+        ded = D.passage_dedup(
+            df, text_col=args.text_col, id_col=args.id_col,
+            span_k=args.span_k,
+        )
+        agg = ded.agg(
+            F.sum("n_chunks").alias("t"), F.sum("n_kept").alias("k")
+        ).collect()[0]
+        out = (
+            df.join(
+                ded.select(args.id_col, "dedup_text"), args.id_col, "left"
+            )
+            .withColumn(
+                args.text_col,
+                F.coalesce(F.col("dedup_text"), F.col(args.text_col)),
+            )
+            .drop("dedup_text")
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            rows_out = spark.read.parquet(args.out).count()
+        else:
+            rows_out = out.count()
+        print(json.dumps({
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "chunks_total": int(agg["t"] or 0),
+            "chunks_removed": int((agg["t"] or 0) - (agg["k"] or 0)),
+            "method": "passage",
+            "span_k": args.span_k,
+        }))
+        return
     pairs = build_pairs(df, args).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     cc = C.connected_components(pairs, src="id_a", dst="id_b")

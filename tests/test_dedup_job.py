@@ -138,3 +138,29 @@ def test_minhash_method_runs(spark, table, capsys):
     # vocabularies across groups → exactly the exact-method clusters
     assert stats["rows_out"] == 10
     assert stats["clusters"] == 10
+
+
+def test_passage_method_rewrites_text_in_place(spark, capsys):
+    """--method passage is sub-document surgery: rows all survive, the
+    repeated chunk is cut everywhere but its first occurrence, null-text
+    rows pass through untouched."""
+    d = tempfile.mkdtemp(prefix="dedup_passage_")
+    ten = " ".join(f"c{i}" for i in range(10))
+    tail_a = " ".join(f"a{i}" for i in range(10))
+    tail_b = " ".join(f"b{i}" for i in range(10))
+    rows = [(0, f"{ten} {tail_a}"), (1, f"{ten} {tail_b}"), (2, None)]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(
+        f"{d}/docs"
+    )
+    stats = _run(
+        ["--input", f"{d}/docs", "--id-col", "doc_id", "--method", "passage",
+         "--text-col", "text", "--out", f"{d}/out"],
+        capsys,
+    )
+    assert stats["rows_in"] == stats["rows_out"] == 3
+    assert stats["chunks_total"] == 4 and stats["chunks_removed"] == 1
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(f"{d}/out").collect()}
+    assert got[0] == f"{ten} {tail_a}"   # first occurrence keeps the chunk
+    assert got[1] == tail_b              # later copy loses it
+    assert got[2] is None                # null text untouched

@@ -199,6 +199,52 @@ def token_span_rows(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 10,
+) -> DataFrame:
+    """The REMOVAL variant of exact-substring dedup: disjoint
+    ``span_k``-token chunks (stride == span_k, so kept chunks concatenate
+    with no double-counted tokens); for every repeated chunk hash only
+    the globally-first occurrence (min (id, pos)) survives, and each
+    document is reconstructed from its kept chunks in position order.
+    Returns (id, n_chunks, n_kept, dedup_text); null-text rows yield no
+    row (callers that must preserve them re-join, as jobs/dedup.py does).
+
+    Survivor selection is a groupBy-min + join on the chunk hash — no
+    rank window, so one pathologically common passage cannot hot-spot a
+    single partition (the shape dedup_canonical uses for clusters).
+    Chunk hashes are md5 so the DuckDB oracle (passage_dedup_docs)
+    replays them bit-for-bit."""
+    chunks = token_span_rows(
+        df, text_col, id_col, span_k=span_k, stride=span_k
+    ).withColumn("sh", F.md5("_span"))
+    first = chunks.groupBy("sh").agg(
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_f")
+    )
+    marked = chunks.join(first, "sh").withColumn(
+        "kept",
+        (F.col(id_col) == F.col(f"_f.{id_col}"))
+        & (F.col("_pos") == F.col("_f._pos")),
+    )
+    kept_chunk = F.when(
+        F.col("kept"), F.struct(F.col("_pos"), F.col("_span"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_chunk)),
+                lambda s: s["_span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def lsh_candidate_pairs_fast(
     df: DataFrame,
     text_col: str = "text",

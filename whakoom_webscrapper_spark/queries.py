@@ -1880,37 +1880,14 @@ def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counted tokens); for every repeated chunk hash only the
     globally-first occurrence (min (doc_id, pos)) survives, and each
     document is reconstructed from its kept chunks in position order.
-    Survivor selection is a groupBy-min + join on the chunk hash — no
-    rank window, so one pathologically common passage cannot hot-spot a
-    single partition (same shape dedup_canonical uses for clusters)."""
+    Delegates to operators/dedup.py:passage_dedup (groupBy-min + join on
+    the chunk hash — no rank window, so one pathologically common
+    passage cannot hot-spot a single partition; same shape
+    dedup_canonical uses for clusters)."""
     from whakoom_webscrapper_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    chunks = D.token_span_rows(
-        docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_K
-    ).withColumn("sh", F.md5("_span"))
-    first = chunks.groupBy("sh").agg(
-        F.min(F.struct(F.col("doc_id"), F.col("_pos"))).alias("_f")
-    )
-    marked = chunks.join(first, "sh").withColumn(
-        "kept",
-        (F.col("doc_id") == F.col("_f.doc_id"))
-        & (F.col("_pos") == F.col("_f._pos")),
-    )
-    kept_chunk = F.when(
-        F.col("kept"), F.struct(F.col("_pos"), F.col("_span"))
-    )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_chunk)),
-                lambda s: s["_span"],
-            ),
-            " ",
-        ).alias("dedup_text"),
-    )
+    return D.passage_dedup(docs, "text", "doc_id", span_k=SPAN_K)
 
 
 # ---------------------------------------------------------------------------
