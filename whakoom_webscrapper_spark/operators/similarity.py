@@ -382,18 +382,23 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells; exact cosine
     runs on cell members only. Probe fraction ≈ nprobe/n_centroids.
-    Pass ``centroids`` to reuse a trained index across query batches."""
+    Pass ``centroids`` to reuse a trained index across query batches.
+    ``topk_salts`` overrides the salt count of the two-stage per-query
+    ranking (default: defaultParallelism; 1 reproduces the old
+    single-partition ranking shape — A/B knob, tools/ivf_topk_ab.py)."""
     cand = ivf_candidates(
         corpus, queries, n_centroids, nprobe, dim,
         id_col, vec_col, query_id_col, seed, centroids,
     )
     cos = V.cosine(_dcast(F.col(vec_col)), _dcast(F.col("_qvec")))
     return _per_query_topk(
-        cand.withColumn("cos_sim", cos), k, id_col, query_id_col
+        cand.withColumn("cos_sim", cos), k, id_col, query_id_col,
+        n_salts=topk_salts,
     )
 
 
