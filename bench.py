@@ -55,6 +55,8 @@ HEADLINE = [
     "passage_dedup_docs",  # its removal variant (new in r5)
     "contamination_check",  # benchmark n-gram overlap (new in r5)
     "images_phash_neardup",  # image-payload near-dup (new in r4)
+    "images_thumbnail_profile",  # decode→box-resize→PNG re-encode (new in r5)
+    "video_frame_sample",  # FVID index-table partial-decode sampling (new in r5)
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above

@@ -211,6 +211,45 @@ def _area_resize_32(gray: np.ndarray) -> np.ndarray:
     return s / area
 
 
+def thumb_dims(w: int, h: int, max_dim: int = 64) -> tuple[int, int]:
+    """Thumbnail dimensions: shrink so max(w,h)==max_dim preserving
+    aspect (integer floor division), never upscale, never collapse a
+    side below 1 px. Pure integer math — the DuckDB oracle replays this
+    exact formula in SQL (queries.images_thumbnail_profile), so the
+    engine's decode→resize path is checked against independent
+    arithmetic, not against itself."""
+    if max(w, h) <= max_dim:
+        return w, h
+    if w >= h:
+        return max_dim, max(1, (h * max_dim) // w)
+    return max(1, (w * max_dim) // h), max_dim
+
+
+def area_resize(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Area-average resize HxWxC uint8 → thxtwxC uint8. Generalizes
+    ``_area_resize_32`` to arbitrary targets: 2-D prefix sums + outer
+    fancy-indexing, no per-block Python loop. Downscale is a true box
+    filter; upscale degrades to nearest-block duplication via the
+    min-1-px window clip (same convention as the pHash resizer)."""
+    h, w, c = pixels.shape
+    if tw < 1 or th < 1:
+        raise ValueError(f"bad target {tw}x{th}")
+    ys = (np.arange(th + 1) * h // th).clip(0, h)
+    xs = (np.arange(tw + 1) * w // tw).clip(0, w)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    ps = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    ps[1:, 1:] = pixels.astype(np.float64).cumsum(0).cumsum(1)
+    s = (
+        ps[np.ix_(y1, x1)]
+        - ps[np.ix_(y0, x1)]
+        - ps[np.ix_(y1, x0)]
+        + ps[np.ix_(y0, x0)]
+    )
+    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)[:, :, None]
+    return np.clip(np.rint(s / area), 0, 255).astype(np.uint8)
+
+
 _DCT32 = None
 
 

@@ -1,0 +1,157 @@
+"""Multimodal column operators: image thumbnail/resize and video
+frame-sampling.
+
+The reference's media handling stops at storing a cover-image path
+(reference: 001_initial_schema.sql:84-85, pipelines.py:139-159); the
+task directive's multimodal brief promotes decode / feature-extract /
+resize / frame-sample to first-class pipeline operations over opaque
+binary columns with typed metadata. Decode and feature-extract landed
+in operators/fetch.py (validate_images); this module adds the two
+remaining verbs.
+
+Both operators are ONE ``mapInPandas`` pass over Arrow batches:
+
+- input is column-pruned to exactly (id, bytes, metadata) before the
+  UDF, so at 100 TB the scan ships no caption/embedding bytes into
+  Python;
+- batches are capped by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (session default 4096) so the per-batch pixel buffers stay bounded
+  regardless of partition size;
+- output rows carry no input binary back to the JVM unless the caller
+  asked for the re-encoded payload (thumbnails do — that's the
+  product; frame sampling returns the frame pHash, not pixels, because
+  sampled-frame *features* are what a training pipeline keeps).
+
+Per-row work inside the batch is the codec loop — per-image by
+necessity, as any codec is (same note as operators/fetch.py).
+
+Scale notes:
+- ``thumbnail`` is embarrassingly parallel (no shuffle at all): scan →
+  mapInPandas → sink. The 100 TB plan is whatever partitioning the
+  input table already has.
+- ``sample_frames`` fans out 1 video → ceil(n_frames/every_k) rows
+  INSIDE the UDF (no explode shuffle) and decompresses ONLY the
+  sampled frames via the FVID index table — touching 1/every_k of the
+  payload bytes, the same partial-read a real mp4 moov index gives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whakoom_webscrapper_spark import imaging, video
+
+THUMB_MAX_DIM = 64
+
+_THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("thumb_w", T.IntegerType(), True),
+        T.StructField("thumb_h", T.IntegerType(), True),
+        T.StructField("thumb_bytes", T.BinaryType(), True),
+        T.StructField("thumb_phash", T.LongType(), True),
+    ]
+)
+
+
+def thumbnail(images: DataFrame, max_dim: int = THUMB_MAX_DIM) -> DataFrame:
+    """Decode → area-average resize (never upscale, aspect preserved,
+    imaging.thumb_dims) → re-encode PNG → pHash of the thumbnail.
+
+    Output thumb_w/thumb_h come from the ACTUAL resized array shape —
+    the oracle replays thumb_dims' integer arithmetic in SQL, so a
+    decode or resize that produced the wrong geometry fails the gate.
+    Thumbnails re-encode as PNG regardless of source format (lossless,
+    dimension-exact; re-running JPEG would stack quantization noise).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _THUMB_SCHEMA.fieldNames()}
+            for img_id, blob, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                px = imaging.decode_image(bytes(blob), fmt)
+                if px.shape[:2] != (h, w):
+                    raise ValueError(
+                        f"{img_id}: decoded {px.shape[1]}x{px.shape[0]} "
+                        f"but metadata says {w}x{h}"
+                    )
+                tw, th = imaging.thumb_dims(int(w), int(h), max_dim)
+                thumb = (
+                    px if (tw, th) == (int(w), int(h))
+                    else imaging.area_resize(px, tw, th)
+                )
+                out["image_id"].append(img_id)
+                out["w"].append(int(w))
+                out["h"].append(int(h))
+                out["thumb_w"].append(int(thumb.shape[1]))
+                out["thumb_h"].append(int(thumb.shape[0]))
+                out["thumb_bytes"].append(imaging.encode_png(thumb))
+                out["thumb_phash"].append(imaging.phash64(thumb))
+            yield pd.DataFrame(out)
+
+    pruned = images.select("image_id", "bytes", "fmt", "w", "h")
+    return pruned.mapInPandas(gen, schema=_THUMB_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_w", T.IntegerType(), True),
+        T.StructField("frame_h", T.IntegerType(), True),
+        T.StructField("frame_phash", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """Sample every ``every_k``-th frame (0, k, 2k, …) from each video
+    and emit one row per sampled frame with its timestamp and pHash.
+
+    Partial decode: the FVID index table is parsed O(header) and only
+    the sampled frames' payloads are decompressed — 1/every_k of the
+    bytes. frame_w/frame_h/frame_idx come from the actual parsed
+    container (header dims validated against the decoded array), so
+    the SQL oracle's independent generate-series arithmetic checks the
+    real parse, not a Spark-side copy of the formula. ts_ms is integer
+    math (frame_idx*1000//fps) for exact SQL parity."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >=1, got {every_k}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _FRAME_SCHEMA.fieldNames()}
+            for vid, blob, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "fvid":
+                    # surfaces the container limitation loudly (directive:
+                    # stub real-codec decode, keep the plumbing real)
+                    video.decode_frame(bytes(blob), 0, fmt)
+                data = bytes(blob)
+                w, h, n, fps, _offsets = video.fvid_header(data)
+                for idx in range(0, n, every_k):
+                    frame = video.decode_frame(data, idx)
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 1000 // fps)
+                    out["frame_w"].append(int(frame.shape[1]))
+                    out["frame_h"].append(int(frame.shape[0]))
+                    out["frame_phash"].append(imaging.phash64(frame))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype=("object" if k == "video_id" else "int64"))
+                    for k, v in out.items()
+                }
+            )
+
+    pruned = videos.select("video_id", "bytes", "fmt")
+    return pruned.mapInPandas(gen, schema=_FRAME_SCHEMA)

@@ -1424,6 +1424,75 @@ def images_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "images_thumbnail_profile",
+    oracle=f"""
+    SELECT image_id, w, h,
+           CASE WHEN greatest(w, h) <= 64 THEN w
+                WHEN w >= h THEN 64
+                ELSE greatest(1, (w * 64) // h) END AS thumb_w,
+           CASE WHEN greatest(w, h) <= 64 THEN h
+                WHEN w >= h THEN greatest(1, (h * 64) // w)
+                ELSE 64 END AS thumb_h
+    FROM read_parquet('{_IMAGES_PQ}')
+    """,
+)
+def images_thumbnail_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize over the image table (the directive's multimodal
+    'resize' verb): decode → area-average box resize to max-dim 64
+    (aspect preserved, never upscaled) → PNG re-encode + thumb pHash,
+    one mapInPandas pass, no shuffle (operators/multimodal.py). The
+    emitted dims come from the ACTUAL resized array; the oracle replays
+    imaging.thumb_dims' integer arithmetic in SQL, so wrong decode
+    geometry or a broken resizer fails the gate. Pixel-level quality
+    (box-filter means, energy preservation) is pytest-gated
+    (tests/test_multimodal.py)."""
+    from whakoom_webscrapper_spark.operators import multimodal as M
+
+    return M.thumbnail(IC.read(spark)).select(
+        "image_id", "w", "h", "thumb_w", "thumb_h"
+    )
+
+
+# Video corpus — deterministic FVID clips (video.py), same materialized-
+# parquet oracle pattern as the image corpus above.
+from whakoom_webscrapper_spark import video as VID  # noqa: E402
+
+_VIDEOS_PQ = VID.CORPUS_PARQUET
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    SELECT video_id, frame_idx,
+           (frame_idx * 1000) // fps AS ts_ms,
+           w AS frame_w, h AS frame_h
+    FROM (
+      SELECT video_id,
+             unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS frame_idx,
+             fps, w, h
+      FROM read_parquet('{_VIDEOS_PQ}')
+    )
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every 4th frame from each clip (the directive's
+    multimodal 'frame-sample' verb): parse the FVID index table,
+    decompress ONLY the sampled frames (1/4 of payload bytes — the
+    partial-read a real mp4 moov index gives), emit per-frame rows with
+    integer timestamps. frame_idx/dims come from the actual container
+    parse + decoded arrays; the oracle generates the expected sampling
+    lattice independently with range()/unnest over the same parquet's
+    metadata columns. Per-frame pHash rides the full operator
+    (operators/multimodal.py) and is pytest-gated; it is dropped here
+    because a hash of our own codec isn't SQL-replayable."""
+    from whakoom_webscrapper_spark.operators import multimodal as M
+
+    return M.sample_frames(VID.read(spark), every_k=4).select(
+        "video_id", "frame_idx", "ts_ms", "frame_w", "frame_h"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity family (ANN over array<float>): brute-force cosine
 # top-k (the exact baseline) + near-dup pairs. Dot products stay JVM-side
