@@ -57,6 +57,7 @@ HEADLINE = [
     "images_phash_neardup",  # image-payload near-dup (new in r4)
     "images_thumbnail_profile",  # decode→box-resize→PNG re-encode (new in r5)
     "video_frame_sample",  # FVID index-table partial-decode sampling (new in r5)
+    "audio_profile",  # WAV decode + resample + windowed features (new in r5)
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above

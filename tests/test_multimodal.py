@@ -99,6 +99,61 @@ def test_frames_temporally_coherent():
 
 
 # ---------------------------------------------------------------------------
+# WAV codec + signal ops (pure python)
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    from whakoom_webscrapper_spark import audio as A
+
+    mono = A.clip_samples(5)
+    blob = A.encode_wav(mono, A.rate_of(5))
+    got, rate = A.decode_wav(blob)
+    assert rate == A.rate_of(5) and got.shape == (len(mono), 1)
+    assert np.array_equal(got[:, 0], mono)
+    stereo = np.stack([mono, (-mono.astype(np.int32)).clip(-32768, 32767).astype(np.int16)], axis=1)
+    got2, _ = A.decode_wav(A.encode_wav(stereo, 16000))
+    assert np.array_equal(got2, stereo)
+
+
+def test_wav_rejects_malformed_and_real_formats():
+    from whakoom_webscrapper_spark import audio as A
+
+    with pytest.raises(ValueError):
+        A.decode_wav(b"OggS" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="no 'mp3' decoder"):
+        A.decode_audio(b"\x00" * 32, fmt="mp3")
+
+
+def test_resample_box_halves_and_antialiases():
+    from whakoom_webscrapper_spark import audio as A
+
+    s = np.arange(0, 2000, dtype=np.int16)
+    out = A.resample_box(s, 2)
+    assert len(out) == 1000
+    # mean of consecutive pairs: (0+1)/2=0.5→round→0 (banker's), (2+3)/2=2.5→2
+    assert np.array_equal(out[:3], np.rint(s[:6].reshape(3, 2).mean(axis=1)).astype(np.int16))
+    assert np.array_equal(A.resample_box(s, 1), s)
+    with pytest.raises(ValueError):
+        A.resample_box(s, 0)
+
+
+def test_window_features_reference():
+    from whakoom_webscrapper_spark import audio as A
+
+    s = A.clip_samples(9)
+    rate = A.rate_of(9)
+    rms, zcr = A.window_features(s, rate, win_ms=50)
+    win = rate * 50 // 1000
+    assert len(rms) == len(s) // win == len(zcr)
+    w0 = s[:win].astype(np.float64)
+    assert rms[0] == pytest.approx(np.sqrt((w0 * w0).mean()))
+    signs = np.signbit(w0)
+    assert zcr[0] == pytest.approx((signs[1:] != signs[:-1]).mean())
+    # a pure tone's ZCR tracks 2*f0/rate — sanity that the feature means something
+    f0 = 110.0 * (1 + 9 % 17)
+    assert abs(zcr.mean() - 2 * f0 / rate) < 0.25
+
+
+# ---------------------------------------------------------------------------
 # Spark operators (distributed == sequential reference)
 # ---------------------------------------------------------------------------
 def test_thumbnail_operator_matches_sequential(spark):
@@ -141,3 +196,29 @@ def test_sample_frames_matches_sequential(spark):
 def test_sample_frames_rejects_bad_stride(spark):
     with pytest.raises(ValueError):
         M.sample_frames(V.read(spark), every_k=0)
+
+
+def test_audio_profile_matches_sequential(spark):
+    from whakoom_webscrapper_spark import audio as A
+
+    clips = A.read(spark).limit(30)
+    rows = {r["audio_id"]: r for r in M.audio_profile(clips).collect()}
+    src = {r["audio_id"]: r for r in clips.collect()}
+    assert rows.keys() == src.keys()
+    for aud_id, r in rows.items():
+        s = src[aud_id]
+        samples, rate = A.decode_wav(bytes(s["bytes"]))
+        assert (r["sample_rate"], r["n_samples"]) == (rate, len(samples))
+        assert r["duration_ms"] == len(samples) * 1000 // rate
+        assert r["resampled_n"] == len(samples) // 2
+        rms, zcr = A.window_features(samples, rate, win_ms=50)
+        assert r["n_windows"] == len(rms)
+        assert r["rms_mean"] == pytest.approx(float(rms.mean()))
+        assert r["zcr_mean"] == pytest.approx(float(zcr.mean()))
+
+
+def test_audio_profile_rejects_bad_factor(spark):
+    from whakoom_webscrapper_spark import audio as A
+
+    with pytest.raises(ValueError):
+        M.audio_profile(A.read(spark), resample_factor=0)

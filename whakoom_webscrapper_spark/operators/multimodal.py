@@ -1,5 +1,5 @@
-"""Multimodal column operators: image thumbnail/resize and video
-frame-sampling.
+"""Multimodal column operators: image thumbnail/resize, video
+frame-sampling, and audio decode/resample/feature extraction.
 
 The reference's media handling stops at storing a cover-image path
 (reference: 001_initial_schema.sql:84-85, pipelines.py:139-159); the
@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from whakoom_webscrapper_spark import imaging, video
+from whakoom_webscrapper_spark import audio, imaging, video
 from whakoom_webscrapper_spark.catalog import with_min_parallelism
 
 THUMB_MAX_DIM = 64
@@ -165,3 +165,56 @@ def sample_frames(videos: DataFrame, every_k: int = 4) -> DataFrame:
 
     pruned = with_min_parallelism(videos.select("video_id", "bytes", "fmt"))
     return pruned.mapInPandas(gen, schema=_FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("resampled_n", T.IntegerType(), True),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("rms_mean", T.DoubleType(), True),
+        T.StructField("zcr_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_profile(
+    clips: DataFrame, resample_factor: int = 2, win_ms: int = 50
+) -> DataFrame:
+    """Decode each WAV clip (real RIFF/PCM16 parse), box-resample by an
+    integer factor, and extract per-window RMS + zero-crossing features;
+    emit one profile row per clip.
+
+    Every count column comes from the ACTUAL arrays (decoded sample
+    count, resampled output length, feature matrix height) — the oracle
+    replays the integer arithmetic (len//factor, samples//window) from
+    the parquet metadata columns, so a decoder that mis-parses the RIFF
+    chunk list or a resampler that miscounts windows fails the gate.
+    rms_mean/zcr_mean are signal-dependent (pytest-gated vs the numpy
+    reference; not SQL-replayable)."""
+    if resample_factor < 1:
+        raise ValueError(f"resample_factor must be >=1, got {resample_factor}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _AUDIO_SCHEMA.fieldNames()}
+            for aud_id, blob, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                samples, rate = audio.decode_audio(bytes(blob), fmt)
+                n = samples.shape[0]
+                res = audio.resample_box(samples, resample_factor)
+                rms, zcr = audio.window_features(samples, rate, win_ms)
+                out["audio_id"].append(aud_id)
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["resampled_n"].append(len(res))
+                out["n_windows"].append(len(rms))
+                out["rms_mean"].append(float(rms.mean()) if len(rms) else 0.0)
+                out["zcr_mean"].append(float(zcr.mean()) if len(zcr) else 0.0)
+            yield pd.DataFrame(out)
+
+    pruned = with_min_parallelism(clips.select("audio_id", "bytes", "fmt"))
+    return pruned.mapInPandas(gen, schema=_AUDIO_SCHEMA)

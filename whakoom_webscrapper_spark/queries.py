@@ -1493,6 +1493,40 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio corpus — real WAV/PCM16 clips (audio.py), same pattern.
+from whakoom_webscrapper_spark import audio as AUD  # noqa: E402
+
+_AUDIO_PQ = AUD.CORPUS_PARQUET
+
+
+@query(
+    "audio_profile",
+    oracle=f"""
+    SELECT audio_id, sample_rate, n_samples,
+           (CAST(n_samples AS BIGINT) * 1000) // sample_rate AS duration_ms,
+           n_samples // 2 AS resampled_n,
+           n_samples // ((sample_rate * 50) // 1000) AS n_windows
+    FROM read_parquet('{_AUDIO_PQ}')
+    """,
+)
+def audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + resample + feature-extract profile (the
+    directive's audio modality): parse each REAL RIFF/WAVE PCM16 clip
+    (audio.py — no stand-in needed, the format is numpy-implementable
+    like the real JPEG codec), box-decimate 2x, window 50 ms RMS +
+    zero-crossing features; one column-pruned mapInPandas pass. Every
+    count column comes from the actual decoded/resampled arrays and the
+    oracle replays the integer arithmetic from the parquet metadata;
+    the signal-dependent feature means are pytest-gated vs the numpy
+    reference (tests/test_multimodal.py)."""
+    from whakoom_webscrapper_spark.operators import multimodal as M
+
+    return M.audio_profile(AUD.read(spark)).select(
+        "audio_id", "sample_rate", "n_samples",
+        "duration_ms", "resampled_n", "n_windows",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity family (ANN over array<float>): brute-force cosine
 # top-k (the exact baseline) + near-dup pairs. Dot products stay JVM-side
