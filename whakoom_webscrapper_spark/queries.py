@@ -1074,6 +1074,183 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation family (operators/quality.py): Gopher-style repetition
+# stats, deterministic train/holdout split, per-source capping, PII scrub.
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+        FROM documents
+    ), words AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+        FROM documents WHERE trim(text) <> ''
+    ), g2 AS (
+        SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS g
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, 1) OVER win IS NOT NULL
+    ), g5 AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(w, 4) OVER win IS NOT NULL
+    ), t2 AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topf
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        GROUP BY doc_id
+    ), t5 AS (
+        SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dupf
+        FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words,
+           round(coalesce(t2.topf, 0.0), 5) AS top_2gram_frac,
+           round(coalesce(t5.dupf, 0.0), 5) AS dup_5gram_frac
+    FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition metrics (Rae et al. 2021 §A1.1) per document:
+    top-bigram mass fraction + duplicate-5-gram fraction. Explode → two
+    partial-agg groupBys keyed on (doc_id, gram): high-cardinality uniform
+    shuffle keys, map-side combine bounds shuffled bytes by distinct grams."""
+    from whakoom_webscrapper_spark.operators import quality as Q
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    return Q.repetition_stats(d, text_col="text", id_col="doc_id")
+
+
+@query(
+    "train_split_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 256
+               AS INTEGER) AS bucket,
+           CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 256 < 13
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/holdout assignment: bucket is a pure
+    function of doc_id (md5 hex arithmetic), so membership is identical
+    under any partitioning, cluster size, or recrawl — no shuffle at all."""
+    from whakoom_webscrapper_spark.operators import quality as Q
+
+    d = load_table(spark, sf_dir, "documents")
+    return Q.assign_split(d, id_col="doc_id").select("doc_id", "bucket", "split")
+
+
+@query(
+    "source_cap_sample",
+    oracle="""
+    SELECT doc_id, source, CAST(src_rank AS INTEGER) AS src_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY length(text) DESC, doc_id
+               ) AS src_rank
+        FROM documents
+    ) WHERE src_rank <= 10
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep the 10 longest docs per source with a doc_id
+    tie-break (deterministic kept set). One window per source; cap output
+    is bounded at cap × n_sources regardless of corpus size."""
+    from whakoom_webscrapper_spark.operators import quality as Q
+
+    d = load_table(spark, sf_dir, "documents")
+    return Q.cap_per_source(d, cap=10).select("doc_id", "source", "src_rank")
+
+
+# Synthetic-PII harness: the corpus is clean by construction, so PII is
+# planted deterministically from doc_id on every 3rd doc; what's under test
+# is the scrub/count operator and JVM↔DuckDB regex-engine parity.
+_PII_PLANT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact doc'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.1 tel +1 555 010 '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+)
+
+
+@query(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, {_PII_PLANT_SQL} AS t FROM documents
+    ), staged AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                              '<EMAIL>', 'g') AS t1
+        FROM planted
+    ), staged2 AS (
+        SELECT doc_id, t, t1,
+               regexp_replace(t1, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+                              '<IP>', 'g') AS t2
+        FROM staged
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               AS n_emails,
+           len(regexp_extract_all(t1, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+               AS n_ips,
+           len(regexp_extract_all(t2, '\\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{3,4}}[-. ]?[0-9]{{0,4}}'))
+               AS n_phones,
+           length(regexp_replace(t2, '\\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{3,4}}[-. ]?[0-9]{{0,4}}',
+                                 '<PHONE>', 'g')) AS scrub_len
+    FROM staged2
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + per-row counts over deterministically planted PII.
+    Pure Catalyst regexp pipeline (RE2-compatible patterns so the JVM and
+    DuckDB engines agree); staged rewrites keep counts and scrub consistent
+    when patterns could overlap."""
+    from whakoom_webscrapper_spark.operators import quality as Q
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1 555 010 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    p = d.select("doc_id", planted.alias("t"))
+    n_email, n_ip, n_phone = Q.pii_counts(F.col("t"))
+    return p.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        F.length(Q.pii_scrub(F.col("t"))).alias("scrub_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs (training-data dedup). Blocking by shared
 # shingle → the pair space is only docs that share ≥1 shingle, which is the
 # same shuffle shape MinHash-LSH uses; exact Jaccard computed on the
