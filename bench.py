@@ -51,6 +51,11 @@ HEADLINE = [
     "text_stats",
     "lang_id_counts",
     "exact_dedup_stats",
+    "repetition_stats",  # Gopher repetition rules (new in r5)
+    "train_split_assign",  # deterministic md5 train/holdout split (new in r5)
+    "source_cap_sample",  # per-source cap window (new in r5)
+    "pii_scrub_stats",  # staged regex PII scrub + counts (new in r5)
+    "doc_length_percentiles",  # exact per-lang length profile (new in r5)
     "passage_dup_stats",  # exact-substring (span-hash) dedup (new in r5)
     "passage_dedup_docs",  # its removal variant (new in r5)
     "contamination_check",  # benchmark n-gram overlap (new in r5)

@@ -1180,6 +1180,34 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.cap_per_source(d, cap=10).select("doc_id", "source", "src_rank")
 
 
+@query(
+    "doc_length_percentiles",
+    oracle="""
+    SELECT lang,
+           count(*)                                   AS n_docs,
+           round(avg(n_chars), 3)                     AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 4)      AS p50,
+           round(quantile_cont(n_chars, 0.9), 4)      AS p90,
+           round(quantile_cont(n_chars, 0.99), 4)     AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile with EXACT interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: both use
+    linear interpolation on the sorted values). Exact percentile sorts
+    within each language group — at 10^10 rows use approx_percentile for
+    the monitoring path; the exact form is the audit/oracle path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 3).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 4).alias("p99"),
+    )
+
+
 # Synthetic-PII harness: the corpus is clean by construction, so PII is
 # planted deterministically from doc_id on every 3rd doc; what's under test
 # is the scrub/count operator and JVM↔DuckDB regex-engine parity.
