@@ -88,45 +88,55 @@ def repetition_stats(
       repeats of an earlier occurrence: (total - distinct) / total.
 
     Docs shorter than the n-gram width get fraction 0.0 (nothing repeats).
-    Shape: explode -> partial-agg groupBy (doc, gram) -> per-doc agg; both
-    metric families share one exploded pass per distinct n.
+
+    Shape (deliberate — ONE scan, TWO shuffles, ZERO joins): both gram
+    widths explode from a single projection as (n, gram) structs
+    (``explode_outer`` so zero-gram docs survive); first groupBy on
+    (doc, n_words, n, gram) collapses repeats map-side before the
+    exchange (shuffled bytes bounded by distinct grams), second groupBy
+    on (doc, n_words) computes both metrics via conditional aggregates —
+    n_words rides the keys (it is functionally dependent on the doc id),
+    which is what removes the join back to the base table.
     """
     top_col = f"top_{top_n}gram_frac"
     dup_col = f"dup_{dup_n}gram_frac"
+    text, n = F.col(text_col), F.col("ng.n")
 
-    base = df.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).alias("n_words")
+    def _tagged(width: int) -> Column:
+        return F.transform(
+            word_ngrams(text, width),
+            lambda g: F.struct(F.lit(width).alias("n"), g.alias("g")),
+        )
+
+    grams = df.select(
+        F.col(id_col),
+        F.size(_words(text)).alias("n_words"),
+        F.explode_outer(F.concat(_tagged(top_n), _tagged(dup_n))).alias("ng"),
     )
-
-    def _gram_frac(n: int, out: str, mode: str) -> DataFrame:
-        grams = df.select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-        )
-        per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        agg = per_gram.groupBy(id_col).agg(
-            F.sum("c").alias("_total"),
-            F.max("c").alias("_top"),
-            F.count(F.lit(1)).alias("_distinct"),
-        )
-        if mode == "top":
-            frac = F.col("_top") / F.col("_total")
-        else:
-            frac = (F.col("_total") - F.col("_distinct")) / F.col("_total")
-        return agg.select(
-            F.col(id_col), F.round(frac, 5).alias(out)
-        )
-
-    top = _gram_frac(top_n, top_col, "top")
-    dup = _gram_frac(dup_n, dup_col, "dup")
+    per_gram = grams.groupBy(id_col, "n_words", n.alias("n"), F.col("ng.g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c, nn = F.col("c"), F.col("n")
     return (
-        base.join(top, id_col, "left")
-        .join(dup, id_col, "left")
+        per_gram.groupBy(id_col, "n_words")
+        .agg(
+            F.max(F.when(nn == top_n, c)).alias("_top"),
+            F.sum(F.when(nn == top_n, c)).alias("_t_total"),
+            F.sum(F.when(nn == dup_n, c)).alias("_d_total"),
+            F.count(F.when(nn == dup_n, F.lit(1))).alias("_d_distinct"),
+        )
         .select(
             id_col,
             "n_words",
-            F.coalesce(F.col(top_col), F.lit(0.0)).alias(top_col),
-            F.coalesce(F.col(dup_col), F.lit(0.0)).alias(dup_col),
+            F.coalesce(
+                F.round(F.col("_top") / F.col("_t_total"), 5), F.lit(0.0)
+            ).alias(top_col),
+            F.coalesce(
+                F.round(
+                    (F.col("_d_total") - F.col("_d_distinct")) / F.col("_d_total"), 5
+                ),
+                F.lit(0.0),
+            ).alias(dup_col),
         )
     )
 
