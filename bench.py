@@ -47,6 +47,7 @@ HEADLINE = [
     "events_hourly",
     "sessions_gap",
     "url_canonicalize",
+    "url_blocklist_filter",  # dot-suffix domain blocklist (new in r5)
     "html_extract_links",
     "text_stats",
     "lang_id_counts",

@@ -62,3 +62,56 @@ def test_path_segment(spark):
     df = spark.createDataFrame([("https://h.test/profile/lists/3",)], ["url"])
     seg = df.select(U.url_path_segment(F.col("url"), 1)).collect()[0][0]
     assert seg == "profile"
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist (host_suffixes / host_blocked / politeness.apply_blocklist)
+# ---------------------------------------------------------------------------
+
+
+def test_host_suffixes_and_blocked(spark):
+    from pyspark.sql import functions as F
+
+    from whakoom_webscrapper_spark.functions import urls as U
+
+    r = spark.range(1).select(
+        U.host_suffixes(F.lit("img.cdn.bad.com")).alias("s"),
+        U.host_blocked(F.lit("img.cdn.bad.com"), ["bad.com"]).alias("b1"),
+        U.host_blocked(F.lit("notbad.com"), ["bad.com"]).alias("b2"),
+        U.host_blocked(F.lit("bad.com"), ["bad.com"]).alias("b3"),
+        U.host_blocked(F.lit("bad.com.evil"), ["bad.com"]).alias("b4"),
+    ).first()
+    assert r["s"] == ["img.cdn.bad.com", "cdn.bad.com", "bad.com", "com"]
+    assert r["b1"] is True  # subdomain of blocked domain
+    assert r["b2"] is False  # suffix-of-string but not dot-suffix
+    assert r["b3"] is True  # exact match
+    assert r["b4"] is False  # blocked domain as a PREFIX must not match
+
+
+def test_apply_blocklist_join_form_matches_literal_form(spark):
+    from pyspark.sql import functions as F
+
+    from whakoom_webscrapper_spark.functions import urls as U
+    from whakoom_webscrapper_spark.operators import politeness as P
+
+    hosts = [
+        "a.com", "img.a.com", "b.org", "c.b.org", "clean.net",
+        "borg", "a.com.mirror",
+    ]
+    frontier = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "url_id long, host string"
+    )
+    domains = ["a.com", "b.org"]
+    bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+    allowed, blocked = P.apply_blocklist(frontier, bl)
+    got_blocked = {r["host"] for r in blocked.collect()}
+    got_allowed = {r["host"] for r in allowed.collect()}
+    lit_blocked = {
+        r["host"]
+        for r in frontier.filter(
+            U.host_blocked(F.col("host"), domains)
+        ).collect()
+    }
+    assert got_blocked == lit_blocked == {"a.com", "img.a.com", "b.org", "c.b.org"}
+    assert got_allowed == {"clean.net", "borg", "a.com.mirror"}
+    assert got_blocked | got_allowed == set(hosts)

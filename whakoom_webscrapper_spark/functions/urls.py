@@ -98,3 +98,30 @@ def host_bucket(host: Column, num_buckets: int = 256) -> Column:
     """Salted host bucket — bounds per-partition host skew (the hot-host
     skew key called out in SURVEY.md §4 / BASELINE.json:14)."""
     return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+
+
+def host_suffixes(host: Column) -> Column:
+    """Every dot-suffix of a hostname: ``a.b.c`` → ``[a.b.c, b.c, c]``.
+
+    The blocklist primitive: "domain d is blocked" means "d is a dot-suffix
+    of the host", so membership tests become set operations on this array
+    instead of per-entry LIKE scans. Pure Catalyst HOF (sequence +
+    array_join over the split labels) — stays in whole-stage codegen."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def host_blocked(host: Column, domains: list[str]) -> Column:
+    """True when any dot-suffix of ``host`` is in ``domains`` (standard
+    registrable-domain blocklist semantics: blocking ``bad.com`` blocks
+    ``img.bad.com``). For list sizes that fit in a plan literal (typical
+    curated blocklists: 10^3-10^5 entries) this is zero-join, zero-shuffle
+    scan-speed work; for larger lists use
+    :func:`whakoom_webscrapper_spark.operators.politeness.apply_blocklist`,
+    the broadcast-join form."""
+    arr = F.array(*[F.lit(d) for d in domains])
+    return F.arrays_overlap(host_suffixes(host), arr)

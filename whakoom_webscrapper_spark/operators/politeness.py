@@ -135,3 +135,44 @@ def deferred_of(candidates: DataFrame, admitted: DataFrame) -> DataFrame:
     broadcast + window chain is never recomputed on the deferred side —
     pass the PERSISTED admitted for a cache-hit key side."""
     return candidates.join(admitted.select("url_hash"), "url_hash", "left_anti")
+
+
+def apply_blocklist(
+    frontier: DataFrame, blocklist: DataFrame, host_col: str = "host"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a frontier into (allowed, blocked) against a domain blocklist
+    with dot-suffix semantics (blocking ``bad.com`` blocks ``img.bad.com``).
+
+    The join form for blocklists too large for a plan literal (the literal
+    form is ``functions.urls.host_blocked``): explode each host's
+    dot-suffixes (≤ label count, ~4 rows per URL), broadcast the blocklist
+    (even 10^6 domains ≈ tens of MB) and equi-semi-join — the frontier is
+    never shuffled, and the suffix explosion is the narrowest projection
+    (id + suffix only). ``blocklist`` must have a ``domain`` column.
+    """
+    from whakoom_webscrapper_spark.functions import urls as U
+
+    sufs = frontier.select(
+        F.col(host_col).alias("_h"),
+        F.explode(U.host_suffixes(F.col(host_col))).alias("_suf"),
+    )
+    blocked_hosts = (
+        sufs.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("_suf"))),
+            "_suf",
+            "leftsemi",
+        )
+        .select(F.col("_h"))
+        .distinct()
+    )
+    blocked = frontier.join(
+        F.broadcast(blocked_hosts.withColumnRenamed("_h", host_col)),
+        host_col,
+        "leftsemi",
+    )
+    allowed = frontier.join(
+        F.broadcast(blocked_hosts.withColumnRenamed("_h", host_col)),
+        host_col,
+        "leftanti",
+    )
+    return allowed, blocked

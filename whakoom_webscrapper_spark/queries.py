@@ -820,6 +820,51 @@ def url_profile_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_blocklist_filter",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'img.' ELSE '' END ||
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'hosta.com' WHEN 1 THEN 'hostb.com'
+                 WHEN 2 THEN 'hostc.com' ELSE 'hostd.com' END AS host
+        FROM documents
+    ), s AS (
+        SELECT doc_id, host,
+               list_transform(
+                   range(1, len(string_split(host, '.')) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(host, '.'), i,
+                                  len(string_split(host, '.'))), '.')
+               ) AS sufs
+        FROM u
+    )
+    SELECT doc_id, host,
+           len(list_filter(sufs, x -> x IN ('hostc.com', 'hostd.com'))) > 0
+               AS blocked
+    FROM s
+    """,
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist admission with dot-suffix semantics (blocking
+    hostc.com also blocks img.hostc.com) — functions/urls.host_blocked:
+    zero-join, zero-shuffle plan-literal form; operators/politeness.
+    apply_blocklist is the broadcast-join twin for 10^6-entry lists.
+    Subdomains are planted on every 3rd doc to exercise suffix matching."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    raw = F.expr(_URL_BUILD_SQL.strip())
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("img.")).otherwise(F.lit("")),
+        U.url_host(raw),
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        U.host_blocked(host, ["hostc.com", "hostd.com"]).alias("blocked"),
+    )
+
+
 @query("doc_fingerprint")  # no oracle: xxhash64 is Spark-specific (U2)
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit content fingerprint of every document (functions/text.py)."""
