@@ -111,6 +111,26 @@ def main() -> None:
         "default: highest id",
     )
     ap.add_argument("--out", help="survivor parquet path (omit for stats only)")
+    ap.add_argument(
+        "--against",
+        default=None,
+        help="INCREMENTAL mode: existing deduped corpus parquet; batch rows "
+        "duplicating a corpus row are dropped (corpus always wins), then "
+        "the remaining batch is deduped within itself. exact/minhash only.",
+    )
+    ap.add_argument(
+        "--against-bands",
+        default=None,
+        help="minhash incremental: persisted LSH band-key sidecar parquet "
+        "(id, band_id, band_hash) for the corpus — skips recomputing corpus "
+        "signatures, making the epoch O(batch) instead of O(corpus)",
+    )
+    ap.add_argument(
+        "--emit-bands",
+        default=None,
+        help="minhash: write the SURVIVORS' band keys to this parquet so the "
+        "next epoch can run --against-bands on (old sidecar UNION this one)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -154,6 +174,56 @@ def main() -> None:
             "span_k": args.span_k,
         }))
         return
+    vs_corpus_dropped = None
+    if args.against:
+        if args.method not in ("exact", "minhash"):
+            raise ValueError(
+                f"--against supports exact/minhash, not {args.method}"
+            )
+        if args.method == "exact":
+            # corpus-wins: drop batch rows whose text exactly matches any
+            # corpus row. Hash is the shuffle-key prefilter; raw-text
+            # equality is the criterion (same contract as build_pairs).
+            key = lambda frame: frame.filter(  # noqa: E731
+                F.col(args.text_col).isNotNull()
+            ).select(
+                F.col(args.id_col).alias("_id"),
+                F.xxhash64(args.text_col).alias("_h"),
+                F.col(args.text_col).alias("_t"),
+            )
+            matched = (
+                key(df)
+                .join(
+                    key(spark.read.parquet(args.against)).select("_h", "_t"),
+                    ["_h", "_t"],
+                    "leftsemi",
+                )
+                .select(F.col("_id").alias(args.id_col))
+                .distinct()
+            )
+        else:
+            batch_bands = D.lsh_band_keys(
+                df, text_col=args.text_col, id_col=args.id_col
+            ).localCheckpoint(eager=True)
+            if args.against_bands:
+                corpus_bands = spark.read.parquet(args.against_bands)
+            else:
+                corpus_bands = D.lsh_band_keys(
+                    spark.read.parquet(args.against),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                )
+            matched = (
+                D.lsh_cross_pairs(batch_bands, corpus_bands, id_col=args.id_col)
+                .select(F.col("batch_id").alias(args.id_col))
+                .distinct()
+            )
+        fresh = df.join(matched, args.id_col, "leftanti").localCheckpoint(
+            eager=True
+        )
+        n_fresh = fresh.count()
+        vs_corpus_dropped = rows_in - n_fresh
+        df = fresh
     pairs = build_pairs(df, args).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     cc = C.connected_components(pairs, src="id_a", dst="id_b")
@@ -166,21 +236,28 @@ def main() -> None:
     if args.out:
         survivors.write.mode("overwrite").parquet(args.out)
         rows_out = spark.read.parquet(args.out).count()
+        survivors = spark.read.parquet(args.out)
     else:
         rows_out = survivors.count()
-    print(
-        json.dumps(
-            {
-                "rows_in": rows_in,
-                "dup_pairs": n_pairs,
-                "clustered_rows": n_clustered,
-                "clusters": n_clusters,
-                "rows_out": rows_out,
-                "dropped": rows_in - rows_out,
-                "method": args.method,
-            }
-        )
-    )
+    if args.emit_bands:
+        if args.method != "minhash":
+            raise ValueError("--emit-bands requires --method minhash")
+        D.lsh_band_keys(
+            survivors, text_col=args.text_col, id_col=args.id_col
+        ).write.mode("overwrite").parquet(args.emit_bands)
+    stats = {
+        "rows_in": rows_in,
+        "dup_pairs": n_pairs,
+        "clustered_rows": n_clustered,
+        "clusters": n_clusters,
+        "rows_out": rows_out,
+        "dropped": rows_in - rows_out,
+        "method": args.method,
+    }
+    if vs_corpus_dropped is not None:
+        stats["vs_corpus_dropped"] = vs_corpus_dropped
+        stats["incremental"] = True
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":

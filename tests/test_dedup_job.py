@@ -164,3 +164,90 @@ def test_passage_method_rewrites_text_in_place(spark, capsys):
     assert got[0] == f"{ten} {tail_a}"   # first occurrence keeps the chunk
     assert got[1] == tail_b              # later copy loses it
     assert got[2] is None                # null text untouched
+
+
+# ---------------------------------------------------------------------------
+# Incremental mode (--against / --against-bands / --emit-bands)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def epoch_world(spark):
+    """A deduped corpus (3 unique docs) + a new epoch batch containing:
+    one exact dup of a corpus doc, one near-dup of a corpus doc (same
+    30-word body), one intra-batch dup pair, and one genuinely new doc."""
+    d = tempfile.mkdtemp(prefix="dedup_incr_")
+    corpus_path, batch_path = os.path.join(d, "corpus"), os.path.join(d, "batch")
+
+    def body(k):
+        return " ".join(f"v{k * 53 + j}" for j in range(30))
+
+    corpus = [(i, body(i), 50 - i) for i in range(3)]
+    batch = [
+        (100, body(0), 1),   # duplicate of corpus doc 0
+        (101, body(7), 2),   # intra-batch pair with 102
+        (102, body(7), 3),
+        (103, body(9), 4),   # genuinely new
+    ]
+    spark.createDataFrame(corpus, "doc_id: long, text: string, q: long") \
+        .write.mode("overwrite").parquet(corpus_path)
+    spark.createDataFrame(batch, "doc_id: long, text: string, q: long") \
+        .write.mode("overwrite").parquet(batch_path)
+    return corpus_path, batch_path
+
+
+@pytest.mark.parametrize("method", ["exact", "minhash"])
+def test_incremental_against_corpus(spark, epoch_world, method, capsys):
+    corpus_path, batch_path = epoch_world
+    out_dir = tempfile.mkdtemp(prefix="dedup_incr_out_") + "/survivors"
+    stats = _run(
+        ["--input", batch_path, "--id-col", "doc_id", "--method", method,
+         "--text-col", "text", "--against", corpus_path, "--out", out_dir],
+        capsys,
+    )
+    assert stats["incremental"] is True
+    assert stats["rows_in"] == 4
+    assert stats["vs_corpus_dropped"] == 1          # doc 100 ≡ corpus doc 0
+    assert stats["rows_out"] == 2                   # one of {101,102} + 103
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert 103 in kept
+    assert len(kept & {101, 102}) == 1
+    assert 100 not in kept
+
+
+def test_incremental_bands_sidecar_equivalent(spark, epoch_world, capsys):
+    """--against-bands on a persisted sidecar must reproduce the full
+    --against run, and --emit-bands must write keys identical to
+    recomputing them from the survivor parquet."""
+    from whakoom_webscrapper_spark.operators import dedup as D
+
+    corpus_path, batch_path = epoch_world
+    d = tempfile.mkdtemp(prefix="dedup_bands_")
+    sidecar = os.path.join(d, "corpus_bands")
+    out_dir = os.path.join(d, "survivors")
+    emitted = os.path.join(d, "survivor_bands")
+    D.lsh_band_keys(spark.read.parquet(corpus_path)).write.parquet(sidecar)
+    stats = _run(
+        ["--input", batch_path, "--id-col", "doc_id", "--method", "minhash",
+         "--text-col", "text", "--against", corpus_path,
+         "--against-bands", sidecar, "--out", out_dir,
+         "--emit-bands", emitted],
+        capsys,
+    )
+    assert stats["vs_corpus_dropped"] == 1 and stats["rows_out"] == 2
+    got = {tuple(r) for r in spark.read.parquet(emitted).collect()}
+    expect = {
+        tuple(r)
+        for r in D.lsh_band_keys(spark.read.parquet(out_dir)).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_incremental_rejects_unsupported_method(spark, epoch_world, capsys):
+    corpus_path, batch_path = epoch_world
+    with pytest.raises(ValueError, match="exact/minhash"):
+        _run(
+            ["--input", batch_path, "--id-col", "doc_id", "--method",
+             "simhash", "--text-col", "text", "--against", corpus_path],
+            capsys,
+        )

@@ -245,6 +245,72 @@ def passage_dedup(
     )
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 8,
+    shingle_k: int = 3,
+    band_rows: int = 2,
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band keys for every document — the
+    joinable (and persistable) half of :func:`lsh_candidate_pairs_fast`.
+
+    Persisted as a parquet sidecar, this is what makes dedup INCREMENTAL:
+    a new crawl epoch computes band keys for its own rows only and
+    equi-joins them against the corpus sidecar (see
+    :func:`lsh_cross_pairs` and ``jobs/dedup.py --against``), so per-epoch
+    cost is O(batch), not O(corpus). Keys joined across runs must share
+    (n_perms, shingle_k, band_rows) — the affine permutation constants are
+    fixed (``_affine_params``), so equal parameters mean equal keys.
+    """
+    sh = _shingle_rows(df, text_col, id_col, shingle_k)
+    wide = _minhash_wide(sh, id_col, n_perms)
+    n_bands = (n_perms + band_rows - 1) // band_rows
+    return wide.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_mh{p}")
+                                for p in range(
+                                    band * band_rows,
+                                    min((band + 1) * band_rows, n_perms),
+                                )
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.band_id").alias("band_id"),
+             F.col("_b.band_hash").alias("band_hash"))
+
+
+def lsh_cross_pairs(
+    batch_bands: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN two corpora from their band keys:
+    (batch_id, corpus_id) for every batch row sharing ≥1 LSH band with a
+    corpus row. Banded equi-join on (band_id, band_hash) — same shuffle
+    shape as the self-join path, but the batch side is epoch-sized."""
+    a = batch_bands.alias("a")
+    b = corpus_bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs_fast(
     df: DataFrame,
     text_col: str = "text",
@@ -270,32 +336,14 @@ def lsh_candidate_pairs_fast(
     At 10^10 docs the self-join is a banded equi-join on (band_id,
     band_hash) — bucket-sized groups, no all-pairs anywhere.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_k)
-    wide = _minhash_wide(sh, id_col, n_perms)
-    n_bands = (n_perms + band_rows - 1) // band_rows
-    bands = wide.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).cast("long").alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"_mh{p}")
-                                for p in range(
-                                    band * band_rows,
-                                    min((band + 1) * band_rows, n_perms),
-                                )
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, F.col("_b.band_id").alias("band_id"),
-             F.col("_b.band_hash").alias("band_hash"))
+    bands = lsh_band_keys(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_perms=n_perms,
+        shingle_k=shingle_k,
+        band_rows=band_rows,
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
