@@ -64,8 +64,10 @@ HEADLINE = [
     "images_thumbnail_profile",  # decode→box-resize→PNG re-encode (new in r5)
     "video_frame_sample",  # FVID index-table partial-decode sampling (new in r5)
     "audio_profile",  # WAV decode + resample + windowed features (new in r5)
+    "stratified_sample_docs",  # deterministic per-lang rebalancing sample (new in r5)
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",  # LSH candidates + exact-Jaccard verify (new in r5)
     "minhash_lsh_pairs_fast",  # production xxhash64 variant of the above
     "embedding_knn",
     "embedding_knn_ivf",

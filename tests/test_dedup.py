@@ -88,3 +88,46 @@ def test_fast_band_join_matches_banded_signatures(spark):
     )
     assert via_hash == via_strings
     assert [2, 3] in [sorted(p) for p in via_hash]  # exact dup pair survives
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate -> exact-Jaccard verify composition (minhash_verified_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_verified_pairs_is_thresholded_candidates(spark):
+    """verified == {candidate pairs with exact 3-shingle Jaccard >= tau},
+    cross-checked against a pure-Python Jaccard on the same corpus."""
+    import re
+
+    from whakoom_webscrapper_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in Q.SPARK_QUERIES["minhash_lsh_pairs"](spark, sf).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in Q.SPARK_QUERIES["minhash_verified_pairs"](spark, sf).collect()
+    }
+    assert set(verified) <= cand
+
+    def shingles(text):
+        words = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    docs = {
+        r["doc_id"]: shingles(r["text"])
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    for a, b in cand:
+        sa, sb = docs[a], docs[b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= Q.VERIFY_TAU:
+            assert (a, b) in verified
+            assert abs(verified[(a, b)] - jac) < 1e-4
+        else:
+            assert (a, b) not in verified

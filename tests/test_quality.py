@@ -142,3 +142,67 @@ def test_pii_scrub_no_pii_is_identity(spark):
     txt = "just ordinary words with no contact details at all"
     r = spark.range(1).select(Q.pii_scrub(F.lit(txt)).alias("s")).first()
     assert r["s"] == txt
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_membership_matches_python_md5(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(F.lit("es")),
+        )
+    )
+    rates = {"en": 3277 / 65536, "es": 16384 / 65536}
+    kept = {
+        r["doc_id"]: (r["lang"], r["sample_bucket"])
+        for r in Q.stratified_sample(df, rates).collect()
+    }
+    # exact membership: replay the md5 arithmetic in pure Python
+    for doc_id in range(3000):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        thresh = 3277 if doc_id % 3 == 0 else 16384
+        assert (doc_id in kept) == (b < thresh), doc_id
+        if doc_id in kept:
+            assert kept[doc_id][1] == b
+    # kept fractions near the configured rates
+    n_en = sum(1 for lg, _ in kept.values() if lg == "en")
+    n_es = len(kept) - n_en
+    assert 0.02 < n_en / 1000 < 0.09  # ~5%
+    assert 0.18 < n_es / 2000 < 0.32  # ~25%
+
+
+def test_stratified_sample_stable_under_repartition_and_default_rate(spark):
+    df = (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("xx")),
+        )
+    )
+    rates = {"en": 0.25}
+    one = sorted(r["doc_id"] for r in Q.stratified_sample(df, rates).collect())
+    two = sorted(
+        r["doc_id"] for r in Q.stratified_sample(df.repartition(11), rates).collect()
+    )
+    assert one == two
+    # default_rate=0 drops every stratum without a configured rate
+    assert all(d % 2 == 0 for d in one)
+    # default_rate=1 keeps all of them
+    everything = Q.stratified_sample(df, rates, default_rate=1.0)
+    n_xx = everything.filter(F.col("lang") == "xx").count()
+    assert n_xx == 250
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.lit("en")
+    )
+    with pytest.raises(ValueError):
+        Q.stratified_sample(df, {"en": 1.5})

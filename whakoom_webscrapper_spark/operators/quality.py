@@ -176,6 +176,38 @@ def assign_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5 bucket
+    (over 65536 buckets, a pure function of the id) falls below the
+    stratum's threshold ``round(rate * 65536)``. The corpus-rebalancing
+    pass of a training-data pipeline — downsample the over-represented
+    language, keep all of the low-resource ones — with the same
+    leakage-free properties as ``assign_split``: ZERO shuffle, membership
+    invariant under repartition, cluster size, and recrawl, and the same
+    document is kept (or dropped) in every epoch, so incremental crawls
+    compose. Appends ``sample_bucket``. Rates must be multiples of
+    1/65536 for bit-exact oracle replay; ``round`` snaps them.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resampling after a
+    repartition changes the kept set), this is stable by construction.
+    """
+    b = md5_bucket(F.col(id_col), 65536)
+    thresh: Column = F.lit(int(round(default_rate * 65536)))
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0,1], got {rate}")
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * 65536)))
+        ).otherwise(thresh)
+    return df.withColumn("sample_bucket", b).filter(F.col("sample_bucket") < thresh)
+
+
 # ---------------------------------------------------------------------------
 # Per-source capping (domain balancing)
 # ---------------------------------------------------------------------------

@@ -2331,3 +2331,169 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ov >= CONTAMINATION_FLAG).cast("int").alias("flagged"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Stratified corpus sampling — the rebalancing pass of a training-data
+# pipeline: downsample the dominant language, keep all of the low-resource
+# ones. Membership is a pure md5 function of doc_id (operators/quality.py:
+# stratified_sample), so the kept set is identical under any partitioning,
+# cluster size, or recrawl — unlike df.sample(), whose per-partition RNG
+# resamples after a repartition. Thresholds are integer bucket counts out
+# of 65536 so the oracle replays the arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+SAMPLE_RATE_BUCKETS = {
+    "en": 3277,  # ~5% of the dominant language
+    "es": 16384,  # 25%
+    "fr": 16384,
+    "de": 16384,
+    "und": 65536,  # keep everything unidentified for manual triage
+}
+
+_MD5_BUCKET16_SQL = (
+    "(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)"
+)
+
+_SAMPLE_THRESH_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lg}' THEN {n}" for lg, n in SAMPLE_RATE_BUCKETS.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id,
+               {_lang_hits_sql("en")} AS h_en, {_lang_hits_sql("es")} AS h_es,
+               {_lang_hits_sql("fr")} AS h_fr, {_lang_hits_sql("de")} AS h_de
+        FROM documents
+    ), labeled AS (
+        SELECT doc_id, CASE
+            WHEN h_en > 0 AND h_en >= greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es > 0 AND h_es >= greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            WHEN h_de > 0 AND h_de >= greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+            ELSE 'und' END AS lang
+        FROM hits
+    ), b AS (
+        SELECT doc_id, lang,
+               CAST({_MD5_BUCKET16_SQL} AS INTEGER) AS sample_bucket
+        FROM (SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+              FROM labeled)
+    )
+    SELECT doc_id, lang, sample_bucket
+    FROM b WHERE sample_bucket < {_SAMPLE_THRESH_SQL}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample of the documents corpus at the
+    SAMPLE_RATE_BUCKETS rates. Plan: one scan, lang-ID + md5-bucket +
+    threshold all inside whole-stage codegen — ZERO shuffle, ZERO joins
+    (the rate table is a plan-literal CASE, not a dimension join), so at
+    100 TB this is a map-only pass whose cost is the scan itself, and
+    the kept set is reproducible on any cluster shape."""
+    from whakoom_webscrapper_spark.operators import quality as Q
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    labeled = d.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang")
+    )
+    rates = {lg: n / 65536 for lg, n in SAMPLE_RATE_BUCKETS.items()}
+    return Q.stratified_sample(
+        labeled, rates, strata_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "sample_bucket")
+
+
+# ---------------------------------------------------------------------------
+# LSH-verified near-dup pairs — the full candidate→verify contract of a
+# production dedup pass: MinHash banding proposes, exact n-gram Jaccard
+# disposes. Banding alone over-merges (two docs agreeing on one band out
+# of 4 can sit well below the target similarity); production pipelines
+# always re-verify candidates before clustering. The verify cost is
+# proportional to the CANDIDATE set (near-dups), not the corpus.
+# ---------------------------------------------------------------------------
+VERIFY_TAU = 0.5
+
+
+@query(
+    "minhash_verified_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, perm,
+               list_min(list_transform({_SHINGLES_SQL},
+                   s -> CAST(('0x' || substr(md5(perm || ':' || s), 1, 15)) AS BIGINT)
+               )) AS minhash
+        FROM documents, unnest(range(0, {N_PERMS})) AS t(perm)
+    ), bands AS (
+        SELECT doc_id, perm // {BAND_ROWS} AS band_id,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_sig
+        FROM sig GROUP BY doc_id, perm // {BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 5) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {VERIFY_TAU}
+    """,
+)
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates re-verified by exact 3-shingle Jaccard >=
+    VERIFY_TAU. Shapes: the banding equi-join proposes O(near-dup)
+    candidate pairs; the verify is two keyed joins of the candidate list
+    against the per-doc shingle frame (shuffled once by doc id, reused
+    for sizes) — per-pair fan-out bounded by doc length, never all-pairs.
+    At 100 TB the verify stage touches only documents that banding
+    flagged, which is the entire point of the candidate→verify split."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= VERIFY_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    )
