@@ -57,3 +57,23 @@ def test_whole_stage_codegen_covers_text_stats(spark):
     )
     assert "* Project" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    # the rebalancing pass claims ZERO shuffle (docs/COVERAGE.md): the rate
+    # table must stay a plan-literal CASE, never become a join, and no
+    # Exchange may appear beyond the parallelism-floor repartition of the
+    # scan itself (which is round-robin, not a key shuffle)
+    plan = _plan(spark, "stratified_sample_docs")
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_verified_pairs_has_no_cartesian(spark):
+    # verify stage must stay keyed: candidate pairs join the shingle frame
+    # by doc id + shingle equality — a cartesian/NLJ anywhere means the
+    # all-pairs blowup the candidate->verify split exists to avoid
+    plan = _plan(spark, "minhash_verified_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
