@@ -131,3 +131,23 @@ def test_minhash_verified_pairs_is_thresholded_candidates(spark):
             assert abs(verified[(a, b)] - jac) < 1e-4
         else:
             assert (a, b) not in verified
+
+
+def test_verified_canonical_keeps_superset_of_unverified(spark):
+    """Verification only removes edges, so dup clusters can only split,
+    and per-cluster argmax survivors of the unverified pipeline remain
+    survivors of the verified one: kept_unverified <= kept_verified."""
+    from whakoom_webscrapper_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    unverified = {
+        r["doc_id"]
+        for r in Q.SPARK_QUERIES["docs_dedup_canonical"](spark, sf).collect()
+    }
+    verified = {
+        r["doc_id"]
+        for r in Q.SPARK_QUERIES["docs_dedup_verified_canonical"](
+            spark, sf
+        ).collect()
+    }
+    assert unverified <= verified

@@ -2497,3 +2497,77 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
     )
+
+
+@query(
+    "docs_dedup_verified_canonical",
+    oracle=f"""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, perm,
+               list_min(list_transform({_SHINGLES_SQL},
+                   s -> CAST(('0x' || substr(md5(perm || ':' || s), 1, 15)) AS BIGINT)
+               )) AS minhash
+        FROM documents, unnest(range(0, {N_PERMS})) AS t(perm)
+    ), bands AS (
+        SELECT doc_id, perm // {BAND_ROWS} AS band_id,
+               string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_sig
+        FROM sig GROUP BY doc_id, perm // {BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+        SELECT doc_a AS a, doc_b AS b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+              >= {VERIFY_TAU}
+    ), sym AS (
+        SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ), reach(src, node) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+    ), comp AS (
+        SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id IN (SELECT MAX(doc_id) FROM comp GROUP BY cluster_id)
+       OR d.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+)
+def docs_dedup_verified_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup ladder end-to-end: LSH banding proposes
+    candidate pairs, exact 3-shingle Jaccard >= VERIFY_TAU disposes
+    (minhash_verified_pairs), large-star/small-star closes the verified
+    graph, and one canonical survivor per cluster (max doc_id) plus
+    every never-paired document survives. docs_dedup_canonical is the
+    same pipeline WITHOUT the verify stage — verification only removes
+    edges, so clusters can only split and the kept set can only grow
+    (pinned in tests/test_dedup.py); the delta between the two queries
+    IS the over-merge that banding alone would have caused. At 10^10
+    docs every stage stays keyed: band equi-join, candidate-bounded
+    verify joins, two shuffles per closure round, windowless survivor
+    argmax."""
+    from whakoom_webscrapper_spark.operators import components as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return C.dedup_canonical(
+        docs.select("doc_id", "lang"), pairs,
+        id_col="doc_id", src="doc_a", dst="doc_b",
+    )
