@@ -62,9 +62,18 @@ def build_pairs(df, args):
             .distinct()
         )
     if args.method == "minhash":
-        return D.lsh_candidate_pairs_fast(
+        cand = D.lsh_candidate_pairs_fast(
             df, text_col=args.text_col, id_col=args.id_col
         ).select("id_a", "id_b")
+        if args.verify_tau is not None:
+            # candidate -> verify: exact shingle Jaccard disposes before
+            # closure, so a single lucky band agreement cannot transitively
+            # merge dissimilar docs. Cost ∝ candidate set, not corpus.
+            cand = D.verify_pairs_jaccard(
+                df, cand, text_col=args.text_col, id_col=args.id_col,
+                tau=args.verify_tau,
+            ).select("id_a", "id_b")
+        return cand
     if args.method == "simhash":
         if args.max_hamming > 3:
             # simhash_dup_pairs with n_bands=4 only guarantees recall for
@@ -131,8 +140,23 @@ def main() -> None:
         help="minhash: write the SURVIVORS' band keys to this parquet so the "
         "next epoch can run --against-bands on (old sidecar UNION this one)",
     )
+    ap.add_argument(
+        "--verify-tau",
+        type=float,
+        default=None,
+        help="minhash: re-verify LSH candidate pairs by exact shingle "
+        "Jaccard >= TAU before clustering (banding proposes, exact "
+        "Jaccard disposes); off by default. Applies to within-batch "
+        "pairs; --against corpus matching stays band-level (the "
+        "--against-bands sidecar carries no text to verify against)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.verify_tau is not None and args.method != "minhash":
+        raise ValueError(
+            "--verify-tau applies to --method minhash only (exact needs no "
+            "verification; simhash/phash are hamming-radius methods)"
+        )
 
     spark = get_spark(app_name="whakoom_dedup", master=args.master)
     df = spark.read.parquet(args.input)
@@ -254,6 +278,8 @@ def main() -> None:
         "dropped": rows_in - rows_out,
         "method": args.method,
     }
+    if args.verify_tau is not None:
+        stats["verify_tau"] = args.verify_tau
     if vs_corpus_dropped is not None:
         stats["vs_corpus_dropped"] = vs_corpus_dropped
         stats["incremental"] = True

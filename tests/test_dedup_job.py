@@ -140,6 +140,41 @@ def test_minhash_method_runs(spark, table, capsys):
     assert stats["clusters"] == 10
 
 
+def test_minhash_verify_tau_keeps_true_dups_drops_near_miss(spark, capsys):
+    """--verify-tau re-checks LSH candidates with exact Jaccard: a pair
+    of texts sharing only a sliver of vocabulary (banding can still
+    propose them on a lucky band) must NOT merge under a high tau, while
+    identical texts always do."""
+    d = tempfile.mkdtemp(prefix="dedup_vtau_")
+    path = os.path.join(d, "docs")
+    dup = " ".join(f"a{j}" for j in range(30))
+    rows = [(0, dup), (1, dup),
+            (2, " ".join(f"b{j}" for j in range(30))),
+            (3, " ".join(f"c{j}" for j in range(30)))]
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    base = ["--input", path, "--id-col", "doc_id", "--method", "minhash",
+            "--text-col", "text"]
+    stats = _run(base + ["--verify-tau", "0.9"], capsys)
+    assert stats["verify_tau"] == 0.9
+    assert stats["rows_out"] == 3  # {0,1} merged, 2 and 3 survive alone
+    assert stats["clusters"] == 1
+    # verified survivor set is a superset of the unverified one:
+    # verification only removes edges, clusters only split
+    unverified = _run(base, capsys)
+    assert unverified["rows_out"] <= stats["rows_out"]
+
+
+def test_verify_tau_rejects_non_minhash(spark, table, capsys):
+    with pytest.raises(ValueError, match="verify-tau"):
+        _run(
+            ["--input", table, "--id-col", "doc_id", "--method", "exact",
+             "--text-col", "text", "--verify-tau", "0.5"],
+            capsys,
+        )
+
+
 def test_passage_method_rewrites_text_in_place(spark, capsys):
     """--method passage is sub-document surgery: rows all survive, the
     repeated chunk is cut everywhere but its first occurrence, null-text

@@ -563,6 +563,61 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Re-verify LSH candidate pairs by EXACT shingle Jaccard >= tau.
+
+    Banding proposes, exact similarity disposes: with few bands, two
+    documents agreeing on one band can sit well below the target
+    similarity, and clustering unverified candidates transitively merges
+    such false positives into giant mixed clusters. Production pipelines
+    therefore verify before closure. Shapes: the per-doc DISTINCT shingle
+    frame (the count-based Jaccard needs the distinct, unlike the
+    min-aggregate signature path) is joined twice against the candidate
+    list by (doc id, shingle equality) — cost proportional to the
+    CANDIDATE set times doc length, never all-pairs. Columns in/out:
+    (id_a, id_b) -> (id_a, id_b, jaccard).
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0,1], got {tau}")
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
+            ).alias("_sh"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        pairs.join(a, F.col(f"a.{id_col}") == F.col("id_a"))
+        .join(
+            b,
+            (F.col(f"b.{id_col}") == F.col("id_b"))
+            & (F.col("b._sh") == F.col("a._sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("_shared").cast("double") / (
+        F.col("sa._n") + F.col("sb._n") - F.col("_shared")
+    )
+    return (
+        shared.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+        .join(sb, F.col(f"sb.{id_col}") == F.col("id_b"))
+        .filter(jac >= tau)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -2464,38 +2464,23 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the per-doc shingle frame (shuffled once by doc id, reused
     for sizes) — per-pair fan-out bounded by doc length, never all-pairs.
     At 100 TB the verify stage touches only documents that banding
-    flagged, which is the entire point of the candidate→verify split."""
+    flagged, which is the entire point of the candidate→verify split.
+    The verify itself is operators/dedup.verify_pairs_jaccard — the
+    same operator jobs/dedup.py --verify-tau runs — so this oracle
+    gates the production operator, not a query-local re-derivation."""
+    from whakoom_webscrapper_spark.operators import dedup as D
+
     d = load_table(spark, sf_dir, "documents", parallel=True)
-    cand = minhash_lsh_pairs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
-            "shingle"
-        ),
+    cand = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= VERIFY_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    return D.verify_pairs_jaccard(
+        d, cand, text_col="text", id_col="doc_id", shingle_k=3,
+        tau=VERIFY_TAU,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round(F.col("jaccard"), 5).alias("jaccard"),
     )
 
 
