@@ -20,10 +20,13 @@ Every stage is optional (omit the flag, skip the stage); stats report
 rows surviving each enabled stage. All membership decisions are pure
 md5 functions of the id — repartition/recrawl/cluster-size invariant —
 so re-running the job on a grown corpus keeps every previous decision.
-100 TB shape: stages 1-4 and 6 are map-only scans or one bounded
-groupBy (repetition: shuffled bytes bounded by distinct grams per doc);
-stage 5 is the single window, keyed by source (~10^6-7 cardinality, AQE
-skew-split catches the one mega-host). No collect anywhere.
+100 TB shape: stages 1-4 and 6 are map-only scans (repetition stats are
+computed per row from the gram arrays — zero shuffles); stage 5 is the
+salted two-stage top-cap (operators/quality.py:cap_per_source): stage-1
+ranks within (source, salt) so a mega-source spreads over n_salts
+tasks, stage-2 re-ranks the <= cap x n_salts survivors — AQE does NOT
+skew-split window exchanges (joins only), so the salting is what bounds
+the mega-host. No collect anywhere.
 
     python jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
         --id-col doc_id --min-quality 0.5 --max-dup5gram 0.3 --pii-scrub \

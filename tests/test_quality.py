@@ -111,6 +111,52 @@ def test_cap_per_source_keeps_longest_deterministically(spark):
     assert kept == {("a", 1): 1, ("a", 2): 2, ("b", 5): 1}
 
 
+def test_cap_per_source_salted_equals_single_window_on_skewed_fixture(spark):
+    """Round-5 verdict item 1 done-criterion: the salted two-stage
+    top-cap must reproduce the single-window ranking EXACTLY on a skewed
+    fixture (one source with 100x the rows of the others), for several
+    salt counts including degenerate n_salts=1."""
+    from pyspark.sql import Window
+
+    rows = [
+        # mega-source: 300 rows, text lengths cycle so there are plenty
+        # of length ties resolved by the doc_id tie-break
+        *[(i, "mega", "x" * (1 + i % 7)) for i in range(300)],
+        *[(1000 + i, "s1", "y" * (1 + i)) for i in range(3)],
+        (2000, "s2", "z"),
+    ]
+    df = _docs(spark, rows)
+    w = Window.partitionBy("source").orderBy(
+        F.length(F.col("text")).desc(), F.col("doc_id")
+    )
+    expected = sorted(
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in df.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= 10)
+        .collect()
+    )
+    for n_salts in (1, 4, 32):
+        got = sorted(
+            (r["doc_id"], r["source"], r["src_rank"])
+            for r in Q.cap_per_source(df, cap=10, n_salts=n_salts)
+            .select("doc_id", "source", "src_rank")
+            .collect()
+        )
+        assert got == expected, f"n_salts={n_salts}"
+
+
+def test_repetition_stats_plan_is_map_only(spark):
+    """Round-6 rewrite gate: both Gopher metrics are per-document, so the
+    plan must contain no Exchange (and no join) at all."""
+    df = _docs(spark, [(1, "s", "a b a b"), (2, "s", "c d e")])
+    out = Q.repetition_stats(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # pii_scrub / pii_counts
 # ---------------------------------------------------------------------------

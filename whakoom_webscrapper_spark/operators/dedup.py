@@ -124,17 +124,20 @@ def _shingle_rows(
 
     Rides ``with_min_parallelism``: the shingle HOF is the most
     expression-dense stage in the engine and must never be serialized by
-    a low-row-group-count input layout (no-op on well-split inputs)."""
+    a low-row-group-count input layout (no-op on well-split inputs).
+
+    The token array is MATERIALIZED as a projected column before the
+    shingle HOF consumes it (round 6): inlining the split at every
+    ``slice``/``size`` site re-tokenized the document once per array
+    element — O(n²) regex work per doc."""
     df = with_min_parallelism(df)
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    sh = F.when(n < shingle_k, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
-            lambda i: F.array_join(F.slice(words, i, shingle_k), " "),
-        )
+    w = df.select(
+        F.col(id_col), T.word_tokens(F.col(text_col)).alias("_w")
     )
-    return df.select(F.col(id_col), F.explode(sh).alias("_sh"))
+    return w.select(
+        F.col(id_col),
+        F.explode(T.shingles_of_tokens(F.col("_w"), shingle_k)).alias("_sh"),
+    )
 
 
 def token_span_rows(
@@ -216,11 +219,19 @@ def passage_dedup(
     Survivor selection is a groupBy-min + join on the chunk hash — no
     rank window, so one pathologically common passage cannot hot-spot a
     single partition (the shape dedup_canonical uses for clusters).
-    Chunk hashes are md5 so the DuckDB oracle (passage_dedup_docs)
-    replays them bit-for-bit."""
+    Chunk hashes are xxhash64 (round 6): the hash is internal — only
+    chunk EQUALITY matters and the oracle replays first-occurrence
+    semantics on the span strings — so 8-byte int keys replace 32-char
+    md5 hex in both the groupBy and the join-back exchange."""
+    # NULL-preserving hash: xxhash64(NULL) yields the seed constant (md5
+    # yields NULL), and the null-text contract here relies on null span
+    # keys falling out of the equi-joins.
     chunks = token_span_rows(
         df, text_col, id_col, span_k=span_k, stride=span_k
-    ).withColumn("sh", F.md5("_span"))
+    ).withColumn(
+        "sh",
+        F.when(F.col("_span").isNotNull(), F.xxhash64("_span")),
+    )
     first = chunks.groupBy("sh").agg(
         F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_f")
     )
@@ -494,23 +505,37 @@ def minhash_signatures(
     kept bit-reproducible for the DuckDB oracle twin
     (queries.py:minhash_signatures)."""
     if portable:
-        sh = with_min_parallelism(df).select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
-            ).alias("_sh"),
+        # Wide one-pass aggregate over tokenize-once distinct shingle
+        # rows (round 6) — hash inputs byte-identical to the old
+        # exploded form (md5 of 'perm:shingle', perm as decimal string),
+        # then a cheap n_docs x n_perms unpivot to the row shape.
+        sh = T.distinct_shingle_rows(
+            with_min_parallelism(df), text_col, id_col, shingle_k,
+            out_col="_sh",
         )
-        exploded = sh.select(
+        wide = sh.groupBy(id_col).agg(
+            *[
+                F.min(
+                    portable_hash(F.concat(F.lit(f"{p}:"), F.col("_sh")))
+                ).alias(f"_mh{p}")
+                for p in range(n_perms)
+            ]
+        )
+        pm = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("perm"),
+                        F.col(f"_mh{p}").alias("minhash"),
+                    )
+                    for p in range(n_perms)
+                ]
+            )
+        ).alias("_pm")
+        return wide.select(id_col, pm).select(
             id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("_p"),
-            "_sh",
-        ).select(id_col, F.col("_p").cast("long").alias("perm"), "_sh")
-        return exploded.groupBy(id_col, "perm").agg(
-            F.min(
-                portable_hash(
-                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("_sh"))
-                )
-            ).alias("minhash")
+            F.col("_pm.perm").alias("perm"),
+            F.col("_pm.minhash").alias("minhash"),
         )
     wide = _minhash_wide(
         _shingle_rows(df, text_col, id_col, shingle_k), id_col, n_perms
@@ -577,22 +602,28 @@ def verify_pairs_jaccard(
     documents agreeing on one band can sit well below the target
     similarity, and clustering unverified candidates transitively merges
     such false positives into giant mixed clusters. Production pipelines
-    therefore verify before closure. Shapes: the per-doc DISTINCT shingle
-    frame (the count-based Jaccard needs the distinct, unlike the
-    min-aggregate signature path) is joined twice against the candidate
-    list by (doc id, shingle equality) — cost proportional to the
-    CANDIDATE set times doc length, never all-pairs. Columns in/out:
-    (id_a, id_b) -> (id_a, id_b, jaccard).
+    therefore verify before closure. Shapes: documents are first
+    SEMI-JOINED down to the ids the candidate list names (round 6 —
+    verify cost is proportional to the candidate set, so shingling and
+    size-counting the full corpus was pure waste; the semi-join is a
+    keyed equi-join AQE turns into a broadcast when the id list is
+    small), then the per-doc DISTINCT shingle frame (the count-based
+    Jaccard needs the distinct, unlike the min-aggregate signature path)
+    is joined twice against the candidate list by (doc id, shingle
+    equality) — per-pair fan-out bounded by doc length, never all-pairs.
+    Columns in/out: (id_a, id_b) -> (id_a, id_b, jaccard).
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0,1], got {tau}")
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(T.word_shingles(F.col(text_col), shingle_k))
-            ).alias("_sh"),
-        )
+    cand_ids = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    sh = T.distinct_shingle_rows(
+        df.join(cand_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_k,
+        out_col="_sh",
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -10,25 +10,24 @@ codegen compiles JVM-side; no Python UDFs — and every arithmetic step is
 chosen so a DuckDB oracle can replay it bit-for-bit.
 
 Scale notes (100 TB / 10^10 docs):
-- ``repetition_stats`` explodes each doc into its word n-grams, then
-  aggregates per (doc, gram). The shuffle key is (doc_id, gram) — high
-  cardinality, uniformly distributed, no skew — and partial aggregation
-  (map-side combine) collapses repeated grams before the exchange, so
-  shuffled bytes are bounded by the *distinct* grams per doc, not the raw
-  token count. One wide stage per metric family, reused via a persisted
-  exploded frame when both metrics are requested.
+- ``repetition_stats`` is MAP-ONLY: both metrics are per-document
+  functions of the gram multiset, computed inside the row with array
+  expressions (sorted-run max for the top-gram count, array_distinct for
+  the dup fraction) — zero shuffles, cost bounded by per-doc token count,
+  embarrassingly parallel at any corpus size.
 - ``assign_split`` is embarrassingly parallel (one md5 per row, no
   shuffle): the split decision is a pure function of the id, so any
   executor — or any later rerun over different partitioning — assigns the
   same document to the same split. That idempotence is the whole point:
   train/holdout membership survives recrawls, compaction, and repartition.
-- ``cap_per_source`` is one window over (source) — the natural skew risk
-  is a mega-source (one domain contributing 10^8 docs). The window only
-  materializes rank <= cap per partition after the in-partition sort, and
-  cap is small, so the output is bounded; for the sort itself, a skewed
-  source lands in one task — acceptable for per-host caps (hosts are
-  ~10^6-row scale, not 10^10), and AQE skew-split covers the pathological
-  single-host case.
+- ``cap_per_source`` is a SALTED two-stage top-cap (the shape proven at
+  operators/similarity.py:_per_query_topk): stage 1 ranks within
+  (source, salt) so a mega-source's sort spreads over n_salts tasks;
+  stage 2 re-ranks only the <= cap x n_salts survivors per source. A
+  single window over (source) would land a 10^8-doc domain's entire
+  sort in ONE task — and AQE's skew handling does NOT cover it: skew
+  splitting applies to sort-merge/shuffled-hash JOIN partitions only,
+  never to window exchanges (round-5 verdict).
 """
 
 from __future__ import annotations
@@ -48,14 +47,12 @@ def _words(text: Column) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Word n-grams as space-joined strings (pure Catalyst HOF).
-
-    ``transform(sequence(...))`` keeps the whole expression inside
-    whole-stage codegen; a DuckDB oracle replays it with
-    unnest + lead() windows over word positions.
-    """
-    w = _words(text)
+def word_ngrams_of_tokens(w: Column, n: int) -> Column:
+    """Word n-grams (space-joined strings) from a MATERIALIZED token-array
+    column. Callers must project the token array first so it is computed
+    once per row — a Column-level tokenizer inlined here would be
+    re-evaluated at every ``element_at`` site (O(n²) per doc; the round-6
+    measured bottleneck of this family)."""
     if n == 1:
         return w
     # concat_ws(' ', w[i], w[i+1], ..., w[i+n-1]) for each start i
@@ -67,6 +64,16 @@ def word_ngrams(text: Column, n: int) -> Column:
             ),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (pure Catalyst HOF).
+
+    ``transform(sequence(...))`` keeps the whole expression inside
+    whole-stage codegen; a DuckDB oracle replays it with
+    unnest + lead() windows over word positions.
+    """
+    return word_ngrams_of_tokens(_words(text), n)
 
 
 def repetition_stats(
@@ -89,55 +96,65 @@ def repetition_stats(
 
     Docs shorter than the n-gram width get fraction 0.0 (nothing repeats).
 
-    Shape (deliberate — ONE scan, TWO shuffles, ZERO joins): both gram
-    widths explode from a single projection as (n, gram) structs
-    (``explode_outer`` so zero-gram docs survive); first groupBy on
-    (doc, n_words, n, gram) collapses repeats map-side before the
-    exchange (shuffled bytes bounded by distinct grams), second groupBy
-    on (doc, n_words) computes both metrics via conditional aggregates —
-    n_words rides the keys (it is functionally dependent on the doc id),
-    which is what removes the join back to the base table.
+    Shape (deliberate — ONE scan, ZERO shuffles, ZERO joins): see the
+    module docstring; both metrics are computed per row from the gram
+    arrays, so this is a pure map pass at any corpus size.
     """
     top_col = f"top_{top_n}gram_frac"
     dup_col = f"dup_{dup_n}gram_frac"
-    text, n = F.col(text_col), F.col("ng.n")
 
-    def _tagged(width: int) -> Column:
-        return F.transform(
-            word_ngrams(text, width),
-            lambda g: F.struct(F.lit(width).alias("n"), g.alias("g")),
-        )
-
-    grams = df.select(
+    # Map-only shape (optimization round 6; previously explode → two
+    # groupBys): both metrics are pure per-document functions of the
+    # gram multiset, so nothing ever needs to cross documents — compute
+    # them inside the row with array expressions and ZERO shuffles.
+    #   top-gram count  = longest equal-run in the SORTED gram array
+    #                     (aggregate over the array with (prev, run,
+    #                     best) state — O(g log g) per doc);
+    #   dup fraction    = (total - distinct) / total via array_distinct.
+    # The token array and both gram arrays are materialized as columns
+    # so each is built once per row (the old single-expression form
+    # re-tokenized the document per array element).
+    w = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    grams = w.select(
         F.col(id_col),
-        F.size(_words(text)).alias("n_words"),
-        F.explode_outer(F.concat(_tagged(top_n), _tagged(dup_n))).alias("ng"),
+        F.size("_w").alias("n_words"),
+        word_ngrams_of_tokens(F.col("_w"), top_n).alias("_gt"),
+        word_ngrams_of_tokens(F.col("_w"), dup_n).alias("_gd"),
     )
-    per_gram = grams.groupBy(id_col, "n_words", n.alias("n"), F.col("ng.g")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    c, nn = F.col("c"), F.col("n")
-    return (
-        per_gram.groupBy(id_col, "n_words")
-        .agg(
-            F.max(F.when(nn == top_n, c)).alias("_top"),
-            F.sum(F.when(nn == top_n, c)).alias("_t_total"),
-            F.sum(F.when(nn == dup_n, c)).alias("_d_total"),
-            F.count(F.when(nn == dup_n, F.lit(1))).alias("_d_distinct"),
-        )
-        .select(
-            id_col,
-            "n_words",
-            F.coalesce(
-                F.round(F.col("_top") / F.col("_t_total"), 5), F.lit(0.0)
-            ).alias(top_col),
-            F.coalesce(
-                F.round(
-                    (F.col("_d_total") - F.col("_d_distinct")) / F.col("_d_total"), 5
+
+    run_max = F.aggregate(
+        F.array_sort(F.col("_gt")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
                 ),
-                F.lit(0.0),
-            ).alias(dup_col),
-        )
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    t_total = F.size("_gt")
+    d_total = F.size("_gd")
+    d_distinct = F.size(F.array_distinct(F.col("_gd")))
+    return grams.select(
+        id_col,
+        "n_words",
+        F.when(t_total == 0, F.lit(0.0))
+        .otherwise(F.round(run_max / t_total, 5))
+        .alias(top_col),
+        F.when(d_total == 0, F.lit(0.0))
+        .otherwise(F.round((d_total - d_distinct) / d_total, 5))
+        .alias(dup_col),
     )
 
 
@@ -197,14 +214,28 @@ def stratified_sample(
     Unlike ``df.sample()`` (seeded per-partition RNG — resampling after a
     repartition changes the kept set), this is stable by construction.
     """
-    b = md5_bucket(F.col(id_col), 65536)
-    thresh: Column = F.lit(int(round(default_rate * 65536)))
     for stratum, rate in rates.items():
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {stratum!r} must be in [0,1], got {rate}")
-        thresh = F.when(
-            F.col(strata_col) == stratum, F.lit(int(round(rate * 65536)))
-        ).otherwise(thresh)
+    b = md5_bucket(F.col(id_col), 65536)
+    # Threshold as a literal-map lookup so the strata column is referenced
+    # exactly ONCE. The old chained-CASE form referenced it once per
+    # stratum; when the strata column is itself an expensive expression
+    # (lang_id) and the optimizer pushes this filter through the
+    # projection, every reference becomes a full copy of that expression
+    # tree in the scan-level Filter (measured round 6: 84 regexp trees in
+    # stratified_sample_docs' pushed-down filter).
+    rate_map = F.create_map(
+        *[
+            c
+            for stratum, rate in rates.items()
+            for c in (F.lit(stratum), F.lit(int(round(rate * 65536))))
+        ]
+    )
+    thresh: Column = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)),
+        F.lit(int(round(default_rate * 65536))),
+    )
     return df.withColumn("sample_bucket", b).filter(F.col("sample_bucket") < thresh)
 
 
@@ -219,15 +250,39 @@ def cap_per_source(
     source_col: str = "source",
     order: list[Column] | None = None,
     id_col: str = "doc_id",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per source, best-first, with a total-order
     tie-break on the id so the kept set is deterministic. ``order`` defaults
-    to longest-text-first. Appends ``src_rank`` (1-based kept position)."""
+    to longest-text-first. Appends ``src_rank`` (1-based kept position).
+
+    Salted two-stage ranking (round-5 verdict item 1): stage 1 ranks
+    within (source, salt) — a mega-source's sort spreads over
+    ``n_salts`` tasks — and keeps ``cap`` rows per salt group; stage 2
+    re-ranks the <= cap x n_salts survivors per source, which is bounded
+    regardless of source size. Lossless: a row in the global top-cap of
+    its source ranks <= cap inside ANY subgroup containing it, so stage 1
+    can never drop it, and deleting only rows ranked below it cannot
+    change its stage-2 rank — ``src_rank`` equals the single-window rank
+    exactly (pinned by the pytest equivalence gate on a skewed fixture).
+    AQE cannot provide this: skew splitting applies to join partitions,
+    not window exchanges."""
     if order is None:
         order = [F.length(F.col("text")).desc()]
-    w = Window.partitionBy(source_col).orderBy(*order, F.col(id_col))
+    if n_salts is None:
+        n_salts = df.sparkSession.sparkContext.defaultParallelism
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(source_col), salt).orderBy(
+        *order, F.col(id_col)
+    )
+    pruned = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order, F.col(id_col))
     return (
-        df.withColumn("src_rank", F.row_number().over(w))
+        pruned.withColumn("src_rank", F.row_number().over(w2))
         .filter(F.col("src_rank") <= cap)
     )
 

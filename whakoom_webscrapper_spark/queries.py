@@ -246,16 +246,21 @@ def active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowless keep-first (round 6): row_number()=1 over
+    # (user_id, event_type) ORDER BY (ts, event_id) selects exactly the
+    # per-key minimum of the (ts, event_id) struct — a hash aggregate
+    # with MAP-SIDE partial min, so the exchange carries one row per key
+    # instead of every event, and no per-key sort exists to hot-spot a
+    # giant key. event_id is unique, so the selected row is identical.
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("_m"))
         .select(
-            "event_id",
+            F.col("_m.event_id").alias("event_id"),
             "user_id",
             "event_type",
-            F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+            F.col("_m.ts").cast("timestamp").cast("long").alias("ts_epoch"),
         )
     )
 
@@ -1373,20 +1378,22 @@ NGRAM_MAX_DF = 25  # stop-shingle cutoff: shingles in more docs carry no
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
-    sh0 = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
-            "shingle"
-        ),
+    sh0 = T.distinct_shingle_rows(d, "text", "doc_id", 3, out_col="shingle")
+    # Document-frequency cutoff via groupBy + anti-join (round-5 verdict
+    # item 2): the old `count(*) over (partition by shingle)` window has
+    # no map-side partial aggregation, so the hottest stop-shingle's rows
+    # — exactly the rows the cutoff removes — all land in one task before
+    # being dropped. groupBy(shingle).count combines map-side, the
+    # over-cutoff list is small by construction (only shingles with
+    # df > NGRAM_MAX_DF), and the anti-join is a keyed equi-join whose
+    # exchange the pair self-join below reuses.
+    stop = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > NGRAM_MAX_DF)
+        .select("shingle")
     )
-    # document-frequency cutoff via window count (one shuffle by shingle,
-    # reused by the pair join below)
-    wdf = Window.partitionBy("shingle")
-    sh = (
-        sh0.withColumn("_df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("_df") <= NGRAM_MAX_DF)
-        .drop("_df")
-    )
+    sh = sh0.join(stop, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1428,6 +1435,28 @@ def _portable_hash_spark(s):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def _minhash_wide_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _mh0.._mh{N-1}): every portable md5 permutation's min in
+    ONE hash aggregate over tokenize-once distinct shingle rows — no
+    per-perm row explosion (8x fewer aggregate inputs), no re-tokenizing
+    per array element (T.distinct_shingle_rows materializes the token
+    array; round 6). Hash inputs are byte-identical to the exploded
+    form: md5 of 'perm:shingle' with perm rendered as its decimal
+    string."""
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    sh = T.distinct_shingle_rows(d, "text", "doc_id", 3, out_col="_sh")
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _portable_hash_spark(
+                    F.concat(F.lit(f"{p}:"), F.col("_sh"))
+                )
+            ).alias(f"_mh{p}")
+            for p in range(N_PERMS)
+        ]
+    )
+
+
 @query(
     "minhash_signatures",
     oracle=f"""
@@ -1439,27 +1468,24 @@ def _portable_hash_spark(s):
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Flat plan: explode distinct shingles once, cross with the perm ids,
-    # hash in whole-stage codegen, then one hash-aggregate min per
-    # (doc, perm). Avoids duplicating the shingle array N_PERMS times —
-    # the shape that scales (and ~5x faster than the nested-lambda form).
-    # min over distinct shingles == min over all shingles.
-    d = load_table(spark, sf_dir, "documents", parallel=True)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias("sh"),
+    # Wide one-pass aggregate, then a cheap n_docs x N_PERMS unpivot to
+    # the (doc_id, perm, minhash) row shape the oracle replays.
+    wide = _minhash_wide_portable(spark, sf_dir)
+    pm = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("perm"),
+                    F.col(f"_mh{p}").alias("minhash"),
+                )
+                for p in range(N_PERMS)
+            ]
+        )
     )
-    exploded = sh.select(
+    return wide.select("doc_id", pm.alias("_pm")).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm_i"),
-        "sh",
-    ).select("doc_id", F.col("perm_i").cast("long").alias("perm"), "sh")
-    return exploded.groupBy("doc_id", "perm").agg(
-        F.min(
-            _portable_hash_spark(
-                F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh"))
-            )
-        ).alias("minhash")
+        F.col("_pm.perm").alias("perm"),
+        F.col("_pm.minhash").alias("minhash"),
     )
 
 
@@ -1484,21 +1510,38 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    bands = (
-        sig.withColumn("band_id", (F.col("perm") / BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("perm", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    # Bands come straight off the wide per-doc aggregate as a projection
+    # (concat_ws of the band's minhash columns in perm order — the exact
+    # string the old collect_list+sort re-aggregation built), removing
+    # the per-(doc, band) second aggregate entirely (round 6).
+    wide = _minhash_wide_portable(spark, sf_dir)
+    n_bands = (N_PERMS + BAND_ROWS - 1) // BAND_ROWS
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"_mh{p}").cast("string")
+                                for p in range(
+                                    band * BAND_ROWS,
+                                    min((band + 1) * BAND_ROWS, N_PERMS),
+                                )
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id",
+        F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_sig").alias("band_sig"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1783,6 +1826,9 @@ def audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via higher-order functions (functions/vectors.py) — no Arrow transfer.
 # The LSH-bucketed scale path lives in operators/similarity.py.
 # ---------------------------------------------------------------------------
+EMB_DIM = 64  # datagen.py embedding width — static, so per-pair math can
+# be unrolled into codegen-compiled chains instead of interpreted HOFs
+
 _COS_SQL = """
     list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))
     / (sqrt(list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(a[i] AS DOUBLE))))
@@ -1856,7 +1902,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, artifact: str):
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cos = V.cosine(_dcast(F.col("embedding")), _dcast(F.col("qe")))
+    cos = V.cosine_unrolled(F.col("embedding"), F.col("qe"), EMB_DIM)
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qrow))
@@ -1918,13 +1964,19 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are precomputed per row (O(n·d)) before the pair join, and the
     # cosine is materialized once via withColumn so filter + projection
     # share it (the naive form evaluates the O(d) lambda twice per pair).
+    # The per-pair dot is UNROLLED (dim is static) so whole-stage codegen
+    # compiles it — the HOF lambda form is interpreted per element, which
+    # dominated this query at 20M pairs (round 6); unrolling keeps the
+    # identical left-to-right summation order, so values are bit-equal.
+    # The join shuffles the raw float32 arrays (half the bytes of the
+    # pre-cast double arrays the old plan exchanged).
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     with_norm = e.select(
-        "vec_id", "label", _dcast(F.col("embedding")).alias("emb")
-    ).withColumn("nrm", V.norm(F.col("emb")))
+        "vec_id", "label", F.col("embedding").alias("emb")
+    ).withColumn("nrm", V.norm_unrolled(F.col("emb"), EMB_DIM))
     x = with_norm.alias("x")
     y = with_norm.alias("y")
-    dot = V.dot(F.col("x.emb"), F.col("y.emb"))
+    dot = V.dot_unrolled(F.col("x.emb"), F.col("y.emb"), EMB_DIM)
     return (
         x.join(
             y,
@@ -2174,31 +2226,58 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     span count and duplicated fraction. Shapes: one groupBy on the
     span hash (uniform md5 keys), one join back, one groupBy on doc —
     the same shuffles the shingle path pays, no all-pairs anywhere."""
+    # Round-6 shape (before: md5-string keys, a countDistinct expand, and
+    # a left join that dragged EVERY span row into the final doc agg):
+    #   1. span keys are xxhash64 ints — 8-byte shuffle keys instead of
+    #      32-char md5 hex (the hash never reaches the output; equality
+    #      of spans is all that matters, and a 64-bit collision over the
+    #      span universe is ~1e-7 at sf1.0);
+    #   2. pre-aggregate to (doc, span) counts first — map-side
+    #      combinable, and it makes the per-span doc count a plain
+    #      count(*) instead of a countDistinct expand;
+    #   3. only DUP spans (df >= 2, a small set) flow into the per-doc
+    #      aggregate; the total span count per doc is a map-side closed
+    #      form of the token count (explode emits exactly
+    #      greatest(n_tokens - SPAN_K + 1, 1) rows), so the final join is
+    #      dup-docs x closed-form counts, never the full span frame.
     from whakoom_webscrapper_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     spans = D.token_span_rows(
         docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_STRIDE
     )
-    h = spans.select("doc_id", F.md5("_span").alias("sh"))
-    dup = (
-        h.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") > 1)
-        .select("sh", F.lit(1).alias("_isdup"))
+    # null-preserving hash: md5(NULL) was NULL and null keys must keep
+    # falling out of the dup equi-join (xxhash64(NULL) is a constant)
+    h = spans.select(
+        "doc_id",
+        F.when(F.col("_span").isNotNull(), F.xxhash64("_span")).alias("sh"),
     )
-    marked = h.join(dup, "sh", "left")
-    n_dup = F.count("_isdup")
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            n_dup.alias("n_dup_spans"),
-            F.round(
-                n_dup.cast("double") / F.count(F.lit(1)), 5
-            ).alias("dup_frac"),
-        )
-        .filter(F.col("n_dup_spans") > 0)
+    g = h.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("_c"))
+    dup = (
+        g.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("sh")
+    )
+    dupc = (
+        g.join(dup, "sh")
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("n_dup_spans"))
+    )
+    w = docs.select("doc_id", T.word_tokens(F.col("text")).alias("_w"))
+    n_spans = F.greatest(
+        F.size("_w") - F.lit(SPAN_K - 1), F.lit(1)
+    ).cast("long")
+    totals = w.select("doc_id", n_spans.alias("n_spans")).filter(
+        F.col("n_spans").isNotNull()
+    )
+    return dupc.join(totals, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(
+            F.col("n_dup_spans").cast("double") / F.col("n_spans"), 5
+        ).alias("dup_frac"),
     )
 
 
@@ -2297,12 +2376,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus-side shuffle is one groupBy by doc — the
     benchmark join itself is broadcast, shuffle-free."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.word_shingles(F.col("text"), 3))).alias(
-            "shingle"
-        ),
-    )
+    sh = T.distinct_shingle_rows(docs, "text", "doc_id", 3, out_col="shingle")
     is_bench = F.col("doc_id") % BENCH_EVERY == 0
     bench = sh.filter(is_bench).select(
         F.col("doc_id").alias("bench_doc"), "shingle"
