@@ -56,14 +56,18 @@ def test_two_triangles_and_bridge(spark):
 
 def test_long_chain_converges_in_log_rounds(spark):
     # worst case for label propagation (diameter 63); the star
-    # alternation must close it in far fewer than 63 rounds
+    # alternation must close it in far fewer than 63 rounds —
+    # local_max_edges=0 forces the DISTRIBUTED rounds under test
     edges = [(i, i + 1) for i in range(63)]
-    got = _run(spark, edges, max_iter=8)
+    got = _run(spark, edges, max_iter=8, local_max_edges=0)
     assert set(got.values()) == {0}
     assert len(got) == 64
 
 
 def test_random_graphs_match_union_find(spark):
+    # run BOTH execution paths (driver union-find fast path and the
+    # distributed star rounds) against the python oracle — the round-6
+    # size-adaptive cutover must be invisible in the result
     rng = random.Random(7)
     for trial in range(3):
         n = 60
@@ -72,8 +76,11 @@ def test_random_graphs_match_union_find(spark):
             (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
         ]
         edges = [(a, b) for a, b in edges if a != b]
-        got = _run(spark, edges, vertices=nodes)
-        assert got == _union_find(nodes, edges)
+        expected = _union_find(nodes, edges)
+        for lme in (None, 0):
+            kw = {} if lme is None else {"local_max_edges": 0}
+            got = _run(spark, edges, vertices=nodes, **kw)
+            assert got == expected, f"local_max_edges={lme}"
 
 
 def test_empty_edges_and_isolated_vertices(spark):

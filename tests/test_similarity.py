@@ -319,3 +319,49 @@ def test_coded_without_codebooks_is_rejected(spark):
         S.ivf_pq_topk(corpus, q, k=5, coded=coded, centroids=cents)
     with pytest.raises(ValueError, match="codebooks"):
         S.ivf_pq_topk(corpus, q, k=5, coded=coded, residual_codebooks=books)
+
+
+def test_cosine_dup_pairs_bit_equals_join_hof_form(spark):
+    """Round-6 rewrite gate: the blocked numpy pair operator must emit
+    the BIT-IDENTICAL (pair set, cosine double) the label-join +
+    Catalyst-HOF formulation produces — for several bucket counts, on
+    the real testdata embeddings (float32 arrays, 64-d)."""
+    from whakoom_webscrapper_spark.functions import vectors as V
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def dcast(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    wn = e.select(
+        "vec_id", "label", dcast(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", V.norm(F.col("emb")))
+    x, y = wn.alias("x"), wn.alias("y")
+    ref = (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn(
+            "cos_raw",
+            V.dot(F.col("x.emb"), F.col("y.emb"))
+            / (F.col("x.nrm") * F.col("y.nrm")),
+        )
+        .filter(F.col("cos_raw") >= 0.3)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "cos_raw",
+        )
+    )
+    expected = sorted(map(tuple, ref.collect()))
+    assert len(expected) > 0  # fixture must actually exercise pairs
+    for n_buckets in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                S.cosine_dup_pairs(e, tau=0.3, n_buckets=n_buckets).collect(),
+            )
+        )
+        assert got == expected, f"n_buckets={n_buckets}"

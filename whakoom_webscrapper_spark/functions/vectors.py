@@ -33,42 +33,6 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` for a STATICALLY KNOWN dimension, unrolled into a flat
-    chain of ``element_at`` products. Bit-identical to :func:`dot` (same
-    left-to-right summation order, same float→double element casts), but
-    whole-stage codegen compiles the chain — higher-order-function
-    lambdas are evaluated interpreted per element, which round-6
-    measurement showed dominating the 20M-pair embedding dup join.
-    Callers pass raw ``array<float>`` columns; elements are cast to
-    double exactly as ``_dcast`` + :func:`dot` did."""
-    s = F.lit(0.0)
-    for i in range(1, dim + 1):
-        s = s + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-            "double"
-        )
-    return s
-
-
-def norm_unrolled(a: Column, dim: int) -> Column:
-    """``norm`` for a statically known dimension — see
-    :func:`dot_unrolled` for why and for the bit-identity argument."""
-    s = F.lit(0.0)
-    for i in range(1, dim + 1):
-        x = F.element_at(a, i).cast("double")
-        s = s + x * x
-    return F.sqrt(s)
-
-
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``cosine`` for a statically known dimension — identical guard and
-    arithmetic order to :func:`cosine`, unrolled for codegen."""
-    na, nb = norm_unrolled(a, dim), norm_unrolled(b, dim)
-    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
-        dot_unrolled(a, b, dim) / (na * nb)
-    )
-
-
 def lsh_bucket(a: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane packed into a
     long. ``planes`` is a small driver-side list (constant-folded into the

@@ -12,7 +12,10 @@ Why this shape at 100 TB:
 - Each round is one ``groupBy(node).min`` plus one equi-join — two
   shuffles on the node key, fully map-side-combinable, no driver-side
   graph state (the driver only sees a (count, hash) convergence
-  checksum per round).
+  checksum per round). Distinct edge sets small enough to collect
+  cheaply (``LOCAL_CLOSURE_MAX_EDGES``) instead close via an exact
+  driver union-find — round latency is pure scheduling overhead at
+  that size; the result is identical and both paths are test-pinned.
 - Rounds are O(log^2 n) worst-case and 2-4 in practice for dup graphs,
   vs O(diameter) for naive label propagation (a 10^6-long near-dup
   chain would mean 10^6 shuffles) — and no GraphX/RDD detour, so AQE
@@ -33,10 +36,65 @@ surface (SURVEY §2 J-group) beyond reference parity.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Size-adaptive execution (round 6): each alternating-star round costs a
+# fixed handful of shuffle stages plus an eager checkpoint — pure
+# scheduling latency once the edge set is small (measured ~4-5 s for a
+# 150k-edge closure at local[32], >90% of it stage overhead). Below this
+# bound the driver runs an exact union-find on the collected DISTINCT
+# edge list instead (≤ ~32 MB at the default), the same documented
+# small-input pattern as bloom.add_keys_local; above it the distributed
+# rounds run unchanged. Both paths emit the identical (id, min-of-
+# component) assignment — pinned by tests/test_components.py.
+LOCAL_CLOSURE_MAX_EDGES = int(
+    os.environ.get("WHAKOOM_CC_LOCAL_MAX_EDGES", "2000000")
+)
+
+
+def _local_components(cur: DataFrame) -> DataFrame:
+    """Driver-side exact union-find over a (small, distinct) edge frame;
+    returns the same (id, component=min member) frame the distributed
+    fixed point produces."""
+    rows = cur.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        m = comp_min.get(root)
+        if m is None or n < m:
+            comp_min[root] = n
+    utype = cur.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", utype, False),
+            T.StructField("component", utype, False),
+        ]
+    )
+    data = [(n, comp_min[find(n)]) for n in parent]
+    return cur.sparkSession.createDataFrame(data, schema)
 
 
 def _checkpoint_with_checksum(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
@@ -98,6 +156,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     vertex_col: str | None = None,
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Undirected connected components of a pair graph.
 
@@ -105,9 +164,12 @@ def connected_components(
     the node's component, for every node that appears in an edge plus —
     when ``vertices`` is given — a singleton row per isolated vertex.
     Ids must be orderable (int or string); self-loops and nulls are
-    ignored. Raises ``RuntimeError`` if the edge set has not reached a
-    fixed point after ``max_iter`` alternating rounds (dup graphs
-    converge in 2-4; a 64-node chain in ~5)."""
+    ignored. Edge sets at or below ``local_max_edges`` (default
+    ``LOCAL_CLOSURE_MAX_EDGES``; pass 0 to force the distributed path)
+    close via an exact driver-side union-find — see the constant's note.
+    Raises ``RuntimeError`` if the edge set has not reached a fixed
+    point after ``max_iter`` alternating rounds (dup graphs converge in
+    2-4; a 64-node chain in ~5)."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -116,6 +178,22 @@ def connected_components(
         .distinct()
     )
     cur = e.localCheckpoint(eager=True)
+    if local_max_edges is None:
+        local_max_edges = LOCAL_CLOSURE_MAX_EDGES
+    # count() on the eagerly checkpointed frame is one cheap pass over
+    # materialized partitions — no recomputation of the edge derivation
+    if cur.count() <= local_max_edges:
+        out = _local_components(cur)
+        if vertices is not None:
+            vcol = vertex_col or vertices.columns[0]
+            singles = (
+                vertices.select(F.col(vcol).alias("id"))
+                .distinct()
+                .join(out.select("id"), "id", "left_anti")
+                .withColumn("component", F.col("id"))
+            )
+            out = out.unionByName(singles)
+        return out
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -202,6 +202,54 @@ def token_span_rows(
     )
 
 
+def token_span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 10,
+    stride: int = 1,
+    pos_col: str = "_pos",
+    hash_col: str = "sh",
+) -> DataFrame:
+    """(id, pos, span-hash) rows — :func:`token_span_rows` for consumers
+    that only need span EQUALITY (dup statistics), hashing the k-token
+    slice directly with ``xxhash64`` over the array instead of
+    materializing the joined span string first (round 6: skips building
+    ~70 bytes of string per span — 160 MB/pass at sf1.0 — before
+    hashing). Tokens contain no spaces, so array equality ⟺ joined-string
+    equality and the grouping is identical; the hash VALUES differ from
+    ``md5(span)``/``xxhash64(span)``, which no caller observes. Null
+    text yields a NULL hash (xxhash64 of a null input is a seed
+    constant, so the null-preserving guard is explicit) — matching
+    ``token_span_rows``'s null-span rows that downstream equi-joins
+    drop."""
+    if stride < 1 or span_k < 1:
+        raise ValueError(f"span_k={span_k} and stride={stride} must be >= 1")
+    df = with_min_parallelism(df)
+    w = df.select(
+        F.col(id_col), T.word_tokens(F.col(text_col)).alias("_w")
+    )
+    pos = w.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_w") - F.lit(span_k - 1), F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias(pos_col),
+    )
+    return pos.select(
+        F.col(id_col),
+        F.col(pos_col),
+        F.when(
+            F.col("_w").isNotNull(),
+            F.xxhash64(F.slice(F.col("_w"), F.col(pos_col), span_k)),
+        ).alias(hash_col),
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -618,13 +666,20 @@ def verify_pairs_jaccard(
     cand_ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
+    # Shingle identity as an 8-byte xxhash64 instead of the shingle
+    # string (round 6): the two verify joins key on (doc id, shingle) —
+    # with a large candidate set that is millions of rows, and the int
+    # keys shuffle ~3x fewer bytes and compare flat. Set-count Jaccard
+    # only needs shingle EQUALITY, and the hash is applied after
+    # array_distinct, so counts are unchanged absent a 64-bit collision
+    # within one document's ~100-shingle set (~1e-12 corpus-wide).
     sh = T.distinct_shingle_rows(
         df.join(cand_ids, id_col, "left_semi"),
         text_col,
         id_col,
         shingle_k,
         out_col="_sh",
-    )
+    ).select(id_col, F.xxhash64("_sh").alias("_sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

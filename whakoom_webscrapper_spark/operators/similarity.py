@@ -250,6 +250,153 @@ def lsh_topk(
     )
 
 
+def cosine_dup_pairs(
+    e: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_buckets: int = 4,
+    chunk_cells: int = 4_000_000,
+) -> DataFrame:
+    """All within-label vector pairs with cosine >= ``tau`` —
+    (vec_a, vec_b, cos_raw) with vec_a < vec_b — computed blockwise in
+    numpy with BIT-IDENTICAL arithmetic to the Catalyst HOF form
+    ``dot(x,y)/(norm(x)*norm(y))``.
+
+    Why (round 6, guide §4.2): the join-then-HOF plan evaluates an
+    interpreted ~200-node lambda expression per candidate pair — 20M
+    evaluations at sf1.0 dominated the query (~10 s quiet) — and because
+    the optimizer pushes the ``cos >= tau`` filter into the join
+    condition, the math cannot reach whole-stage codegen at all.
+    Shipping each label group's VECTORS once (n rows, not n² pairs)
+    across Arrow and doing the pair math as 64 vectorized
+    multiply-accumulate passes is ~5x faster and moves megabytes instead
+    of the join's gigabytes.
+
+    Bit-identity argument (the oracle hashes these doubles after
+    round(..,5), so "close" is not enough):
+    - float32 → float64 element casts are exact (same as ``_dcast``);
+    - the accumulator starts at 0.0 and adds ``x_i*y_i`` one dimension
+      at a time (``acc += X1[:,k]*X2[:,k]``) — numpy multiply and add
+      are separate IEEE-rounded ops (no FMA), in the same left-to-right
+      order as ``F.aggregate``'s fold, so every partial is bit-equal;
+    - norms use the same per-dimension fold then ``sqrt``;
+    - ``dot/(nx*ny)`` and the ``>= tau`` comparison run on bit-equal
+      doubles, so the surviving pair set and every emitted double are
+      identical; rounding stays Spark-side.
+
+    Scale shape: rows are hash-bucketed ``B = n_buckets`` ways and each
+    row is exploded into the ``B`` (bucket, bucket) block-tasks it
+    participates in, so one (label, bi, bj) task holds only its two
+    buckets' rows — parallelism is n_labels x C(B+1,2) tasks and no
+    single task ever materializes a whole label (the applyInPandas
+    analog of the banded self-joins used everywhere else in the dedup
+    family). Inside a task the pair matrix is built in row-chunks of at
+    most ``chunk_cells`` cells to bound worker memory."""
+    import numpy as np
+    import pandas as pd
+
+    B = int(n_buckets)
+    if B < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    rows = e.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).alias("_v"),
+    ).where(F.col(vec_col).isNotNull())
+    bucket = F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int")
+    tasks = rows.withColumn("_b", bucket).select(
+        "_id",
+        "_lbl",
+        "_v",
+        "_b",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(B - 1)),
+                    lambda o: F.struct(
+                        F.least(F.col("_b"), o).alias("ti"),
+                        F.greatest(F.col("_b"), o).alias("tj"),
+                    ),
+                )
+            )
+        ).alias("_t"),
+    ).select(
+        "_id", "_lbl", "_v", "_b",
+        F.col("_t.ti").alias("_ti"), F.col("_t.tj").alias("_tj"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cos_raw", T.DoubleType(), True),
+        ]
+    )
+
+    def _fold_dot(X1: "np.ndarray", X2: "np.ndarray") -> "np.ndarray":
+        """Sequential per-dimension fold — acc starts 0.0 like the HOF."""
+        acc = np.zeros((X1.shape[0], X2.shape[0]))
+        for k in range(X1.shape[1]):
+            acc += X1[:, k][:, None] * X2[None, :, k]
+        return acc
+
+    def _fold_norm(X: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(X.shape[0])
+        for k in range(X.shape[1]):
+            acc += X[:, k] * X[:, k]
+        return np.sqrt(acc)
+
+    def gen(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _lbl, ti, tj = key
+        left = pdf[pdf["_b"] == ti]
+        right = pdf[pdf["_b"] == tj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cos_raw": pd.Series([], dtype="float64")}
+            )
+        Xi = np.stack(left["_v"].to_numpy()).astype(np.float64)
+        Xj = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        idi = left["_id"].to_numpy(dtype=np.int64)
+        idj = right["_id"].to_numpy(dtype=np.int64)
+        ni_norm, nj_norm = _fold_norm(Xi), _fold_norm(Xj)
+        chunk = max(1, chunk_cells // max(1, len(idj)))
+        outs_a, outs_b, outs_c = [], [], []
+        for s in range(0, len(idi), chunk):
+            ce = slice(s, s + chunk)
+            cos = _fold_dot(Xi[ce], Xj) / (
+                ni_norm[ce][:, None] * nj_norm[None, :]
+            )
+            ia = idi[ce][:, None]
+            jb = idj[None, :]
+            # each unordered pair lives in exactly one (ti, tj) task;
+            # within it, keep one orientation by id (ti==tj holds both)
+            mask = (cos >= tau) & (ia != jb)
+            if ti == tj:
+                mask &= ia < jb
+            ii, jj = np.nonzero(mask)
+            a = idi[ce][ii]
+            b = idj[jj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            outs_a.append(lo)
+            outs_b.append(hi)
+            outs_c.append(cos[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(outs_a) if outs_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(outs_b) if outs_b else np.array([], dtype=np.int64),
+                "cos_raw": np.concatenate(outs_c) if outs_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    return tasks.groupBy("_lbl", "_ti", "_tj").applyInPandas(gen, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------

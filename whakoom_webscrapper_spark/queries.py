@@ -205,10 +205,17 @@ def order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberate sort-merge anti join (round 6): the planner's estimate
+    # put the column-pruned lineitem side under the broadcast threshold,
+    # but building a 6M-key broadcast hash relation single-threaded cost
+    # ~2.7 s/run at sf1.0 where the shuffled merge anti runs in ~0.7 s —
+    # and at 10^10 rows the probe side could never broadcast anyway, so
+    # the hint pins the shape that survives scale. Anti joins carry no
+    # arithmetic, so the result is order-insensitive and unchanged.
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return o.join(
-        li, o.o_orderkey == li.l_orderkey, "left_anti"
+        li.hint("merge"), o.o_orderkey == li.l_orderkey, "left_anti"
     ).select("o_orderkey", "o_orderstatus")
 
 
@@ -1393,7 +1400,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") > NGRAM_MAX_DF)
         .select("shingle")
     )
-    sh = sh0.join(stop, "shingle", "left_anti")
+    # The shingle-keyed repartition pins ONE materialization of the
+    # filtered frame: the pair self-join below needs (shingle) hash
+    # distribution anyway, so both join sides and the sizes branch reuse
+    # this single exchange at runtime instead of each re-deriving
+    # scan→shingle→anti-join.
+    sh = sh0.join(stop, "shingle", "left_anti").repartition(F.col("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1826,9 +1838,6 @@ def audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via higher-order functions (functions/vectors.py) — no Arrow transfer.
 # The LSH-bucketed scale path lives in operators/similarity.py.
 # ---------------------------------------------------------------------------
-EMB_DIM = 64  # datagen.py embedding width — static, so per-pair math can
-# be unrolled into codegen-compiled chains instead of interpreted HOFs
-
 _COS_SQL = """
     list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))
     / (sqrt(list_sum(list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(a[i] AS DOUBLE))))
@@ -1902,7 +1911,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, artifact: str):
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cos = V.cosine_unrolled(F.col("embedding"), F.col("qe"), EMB_DIM)
+    cos = V.cosine(_dcast(F.col("embedding")), _dcast(F.col("qe")))
     return (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qrow))
@@ -1961,35 +1970,23 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Norms are precomputed per row (O(n·d)) before the pair join, and the
-    # cosine is materialized once via withColumn so filter + projection
-    # share it (the naive form evaluates the O(d) lambda twice per pair).
-    # The per-pair dot is UNROLLED (dim is static) so whole-stage codegen
-    # compiles it — the HOF lambda form is interpreted per element, which
-    # dominated this query at 20M pairs (round 6); unrolling keeps the
-    # identical left-to-right summation order, so values are bit-equal.
-    # The join shuffles the raw float32 arrays (half the bytes of the
-    # pre-cast double arrays the old plan exchanged).
+    # Round 6: blocked vectorized pair math (operators/similarity.py:
+    # cosine_dup_pairs) replaces the label self-join + interpreted HOF
+    # cosine. The old plan shipped ~20M joined pair rows (sf1.0) through
+    # an interpreted ~200-node lambda — and the pushed-down cos>=0.3
+    # filter pinned that math inside the join condition, outside
+    # codegen. The operator ships each label group's VECTORS once and
+    # folds the dot per dimension in numpy with the identical
+    # left-to-right summation order, so every surviving pair and every
+    # double is bit-equal (oracle-verified); rounding stays here.
+    from whakoom_webscrapper_spark.operators import similarity as S
+
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
-    with_norm = e.select(
-        "vec_id", "label", F.col("embedding").alias("emb")
-    ).withColumn("nrm", V.norm_unrolled(F.col("emb"), EMB_DIM))
-    x = with_norm.alias("x")
-    y = with_norm.alias("y")
-    dot = V.dot_unrolled(F.col("x.emb"), F.col("y.emb"), EMB_DIM)
-    return (
-        x.join(
-            y,
-            (F.col("x.label") == F.col("y.label"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .withColumn("cos_raw", dot / (F.col("x.nrm") * F.col("y.nrm")))
-        .filter(F.col("cos_raw") >= 0.3)
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.round(F.col("cos_raw"), 5).alias("cos_sim"),
-        )
+    return S.cosine_dup_pairs(
+        e, tau=0.3, id_col="vec_id", label_col="label",
+        vec_col="embedding",
+    ).select(
+        "vec_a", "vec_b", F.round(F.col("cos_raw"), 5).alias("cos_sim")
     )
 
 
@@ -2243,15 +2240,9 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whakoom_webscrapper_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    spans = D.token_span_rows(
+    h = D.token_span_hashes(
         docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_STRIDE
-    )
-    # null-preserving hash: md5(NULL) was NULL and null keys must keep
-    # falling out of the dup equi-join (xxhash64(NULL) is a constant)
-    h = spans.select(
-        "doc_id",
-        F.when(F.col("_span").isNotNull(), F.xxhash64("_span")).alias("sh"),
-    )
+    ).select("doc_id", "sh")
     g = h.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("_c"))
     dup = (
         g.groupBy("sh")

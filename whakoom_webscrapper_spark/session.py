@@ -33,7 +33,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Local mode runs every executor thread inside the driver JVM, so
+    # this heap backs all 32 cores' execution + shuffle + broadcast
+    # memory at once. 8g showed 2-3x rep-to-rep GC variance on the
+    # shingle/span queries at sf1.0 (round 6); 16g removes it while
+    # using ~1/8 of the sandbox's RAM. On a real cluster this value is
+    # per-spark-submit and the executors carry their own heaps.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
     # Hadoop vectored IO (default-on in Spark 4) funnels every parquet
