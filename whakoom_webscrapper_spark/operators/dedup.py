@@ -666,13 +666,18 @@ def verify_pairs_jaccard(
     cand_ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
-    # Shingle identity as an 8-byte xxhash64 instead of the shingle
-    # string (round 6): the two verify joins key on (doc id, shingle) —
-    # with a large candidate set that is millions of rows, and the int
-    # keys shuffle ~3x fewer bytes and compare flat. Set-count Jaccard
-    # only needs shingle EQUALITY, and the hash is applied after
-    # array_distinct, so counts are unchanged absent a 64-bit collision
-    # within one document's ~100-shingle set (~1e-12 corpus-wide).
+    # Per-doc shingle SETS as arrays of 8-byte xxhash64 values, one row
+    # per candidate doc (round 6): the old shape exploded candidate docs
+    # into (doc, shingle) rows and paid two multi-million-row keyed
+    # joins; folding each doc's distinct shingles into a hashed array
+    # first makes both joins id-keyed over |candidate docs| rows, and
+    # the per-pair overlap is ``size(array_intersect(...))`` — the exact
+    # same distinct-shingle intersection count (set semantics, arrays
+    # are duplicate-free by construction). The string→int hashing is
+    # applied after array_distinct, so counts are unchanged absent a
+    # 64-bit collision within one document's shingle set (~1e-12
+    # corpus-wide). Array size is bounded by doc length and the frame by
+    # the candidate set — the whole verify is candidate-proportional.
     sh = T.distinct_shingle_rows(
         df.join(cand_ids, id_col, "left_semi"),
         text_col,
@@ -680,27 +685,21 @@ def verify_pairs_jaccard(
         shingle_k,
         out_col="_sh",
     ).select(id_col, F.xxhash64("_sh").alias("_sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        pairs.join(a, F.col(f"a.{id_col}") == F.col("id_a"))
-        .join(
-            b,
-            (F.col(f"b.{id_col}") == F.col("id_b"))
-            & (F.col("b._sh") == F.col("a._sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list("_sh").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("_shared").cast("double") / (
-        F.col("sa._n") + F.col("sb._n") - F.col("_shared")
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    shared = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))
+    jac = shared.cast("double") / (
+        F.col("sa._n") + F.col("sb._n") - shared
     )
     return (
-        shared.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+        pairs.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
         .join(sb, F.col(f"sb.{id_col}") == F.col("id_b"))
-        .filter(jac >= tau)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
