@@ -365,3 +365,14 @@ def test_cosine_dup_pairs_bit_equals_join_hof_form(spark):
             )
         )
         assert got == expected, f"n_buckets={n_buckets}"
+
+
+def test_cosine_dup_pairs_chunked_equals_unchunked(spark):
+    """The row-chunked pair-block loop (memory bound) must be invisible
+    in the result: a tiny chunk_cells forces many chunks per task."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = sorted(map(tuple, S.cosine_dup_pairs(e, tau=0.3).collect()))
+    tiny = sorted(
+        map(tuple, S.cosine_dup_pairs(e, tau=0.3, chunk_cells=7).collect())
+    )
+    assert tiny == full and len(full) > 0

@@ -2225,14 +2225,16 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffles the shingle path pays, no all-pairs anywhere."""
     # Round-6 shape (before: md5-string keys, a countDistinct expand, and
     # a left join that dragged EVERY span row into the final doc agg):
-    #   1. span keys are xxhash64 ints — 8-byte shuffle keys instead of
-    #      32-char md5 hex (the hash never reaches the output; equality
-    #      of spans is all that matters, and a 64-bit collision over the
-    #      span universe is ~1e-7 at sf1.0);
-    #   2. pre-aggregate to (doc, span) counts first — map-side
-    #      combinable, and it makes the per-span doc count a plain
-    #      count(*) instead of a countDistinct expand;
-    #   3. only DUP spans (df >= 2, a small set) flow into the per-doc
+    #   1. span keys are xxhash64 ints over the k-token slice — 8-byte
+    #      shuffle keys, no span string materialized (the hash never
+    #      reaches the output; equality of spans is all that matters,
+    #      and a 64-bit collision over the span universe is ~1e-7 at
+    #      sf1.0);
+    #   2. "appears in >= 2 distinct docs" ⟺ min(doc) != max(doc) per
+    #      span hash — ONE map-side-combinable aggregate over the span
+    #      rows, no countDistinct expand and no (doc, span) pre-pass;
+    #      the span frame's single exchange is reused by the join back;
+    #   3. only DUP-span positions (a small set) flow into the per-doc
     #      aggregate; the total span count per doc is a map-side closed
     #      form of the token count (explode emits exactly
     #      greatest(n_tokens - SPAN_K + 1, 1) rows), so the final join is
@@ -2243,17 +2245,16 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = D.token_span_hashes(
         docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_STRIDE
     ).select("doc_id", "sh")
-    g = h.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("_c"))
     dup = (
-        g.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") > 1)
+        h.groupBy("sh")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("sh")
     )
     dupc = (
-        g.join(dup, "sh")
+        h.join(dup, "sh")
         .groupBy("doc_id")
-        .agg(F.sum("_c").alias("n_dup_spans"))
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
     w = docs.select("doc_id", T.word_tokens(F.col("text")).alias("_w"))
     n_spans = F.greatest(
