@@ -2,11 +2,17 @@
 
 Usage::
 
-    SPARK_GRAFT_CPUS=32 python tools/dump_plans.py <outdir> <tag> [query ...]
+    SPARK_GRAFT_CPUS=32 python tools/dump_plans.py [--no-ckpt] <outdir> <tag> [query ...]
 
 Writes ``<outdir>/<query>_<tag>.txt`` for each query (default: the
 bench.py HEADLINE set). Used to commit the plans/r06 before/after
 evidence the optimization round requires.
+
+``--no-ckpt`` monkeypatches ``DataFrame.localCheckpoint`` to identity
+before building the queries: round-6 queries materialize shared
+subtrees via lazy localCheckpoint, which truncates the dumped plan at a
+``Scan ExistingRDD`` boundary — this flag exposes the full logical
+pipeline those checkpoints execute (the dumped file notes the mode).
 """
 
 from __future__ import annotations
@@ -21,8 +27,18 @@ from whakoom_webscrapper_spark.session import get_spark
 
 
 def main() -> None:
-    outdir, tag = sys.argv[1], sys.argv[2]
-    names = sys.argv[3:]
+    args = list(sys.argv[1:])
+    no_ckpt = "--no-ckpt" in args
+    if no_ckpt:
+        args.remove("--no-ckpt")
+        try:  # Spark 4: the runtime class lives in sql.classic
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover - older Spark
+            from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+    outdir, tag = args[0], args[1]
+    names = args[2:]
     if not names:
         import bench
 
@@ -36,6 +52,12 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         with open(os.path.join(outdir, f"{name}_{tag}.txt"), "w") as f:
+            if no_ckpt:
+                f.write(
+                    "-- dumped with --no-ckpt: localCheckpoint patched to"
+                    " identity so the full pipeline behind the checkpoint"
+                    " boundaries is visible --\n"
+                )
             f.write(plan)
         print(f"wrote {name}_{tag}.txt")
     spark.stop()

@@ -663,6 +663,14 @@ def verify_pairs_jaccard(
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0,1], got {tau}")
+    # The candidate list is consumed three times (the id semi-join below
+    # plus both verify joins); when it arrives as an unmaterialized LSH
+    # pipeline each consumer would re-derive it beyond what runtime
+    # exchange reuse covers. A LAZY localCheckpoint materializes the
+    # O(candidate) pair rows once inside the first action — bounded by
+    # the near-dup count by construction, and recomputed per invocation
+    # (no cross-run state).
+    pairs = pairs.localCheckpoint(eager=False)
     cand_ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
@@ -685,10 +693,16 @@ def verify_pairs_jaccard(
         shingle_k,
         out_col="_sh",
     ).select(id_col, F.xxhash64("_sh").alias("_sh"))
+    # Consumed twice (sa and sb): the exchange below the final
+    # collect_list aggregate is runtime-reused, but the aggregate itself
+    # and the shingling above it would still run once per side. The lazy
+    # checkpoint bounds materialization at O(candidate docs) array rows
+    # and cut the end-to-end verified query 5.1 s → 4.4 s at the 50k-doc
+    # scale stand-in (together with the pairs checkpoint above).
     sets = sh.groupBy(id_col).agg(
         F.collect_list("_sh").alias("_set"),
         F.count(F.lit(1)).alias("_n"),
-    )
+    ).localCheckpoint(eager=False)
     sa, sb = sets.alias("sa"), sets.alias("sb")
     shared = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))
     jac = shared.cast("double") / (

@@ -1390,22 +1390,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item 2): the old `count(*) over (partition by shingle)` window has
     # no map-side partial aggregation, so the hottest stop-shingle's rows
     # — exactly the rows the cutoff removes — all land in one task before
-    # being dropped. groupBy(shingle).count combines map-side, the
+    # being dropped. groupBy(shingle).count combines map-side, and the
     # over-cutoff list is small by construction (only shingles with
-    # df > NGRAM_MAX_DF), and the anti-join is a keyed equi-join whose
-    # exchange the pair self-join below reuses.
+    # df > NGRAM_MAX_DF).
+    # Round-6 second pass: the stop list is now derived FROM the
+    # shingle-keyed repartition the pair join needs anyway (one exchange,
+    # one tokenize pass — the old shape's separate groupBy exchange
+    # re-derived scan→tokenize→shingle just to count), the anti-join is
+    # pinned broadcast (the stop list is small by construction), and the
+    # filtered frame is lazily localCheckpoint'ed so its three consumers
+    # (both pair-join sides and the sizes branch) read the materialized
+    # blocks instead of re-filtering — measured 2.87 s → 1.92 s at the
+    # 50k-doc scale stand-in with identical rows. The checkpoint
+    # materializes O(post-cutoff shingle rows) — the same frame the join
+    # exchange already carries — inside the timed query, per invocation.
+    shp = sh0.repartition(F.col("shingle"))
     stop = (
-        sh0.groupBy("shingle")
+        shp.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > NGRAM_MAX_DF)
         .select("shingle")
     )
-    # The shingle-keyed repartition pins ONE materialization of the
-    # filtered frame: the pair self-join below needs (shingle) hash
-    # distribution anyway, so both join sides and the sizes branch reuse
-    # this single exchange at runtime instead of each re-deriving
-    # scan→shingle→anti-join.
-    sh = sh0.join(stop, "shingle", "left_anti").repartition(F.col("shingle"))
+    sh = shp.join(F.broadcast(stop), "shingle", "left_anti").localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -2241,35 +2249,51 @@ def passage_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      dup-docs x closed-form counts, never the full span frame.
     from whakoom_webscrapper_spark.operators import dedup as D
 
+    # Round-6 second pass (before: the span-hash frame was derived TWICE
+    # — once under the dup-set groupBy's own exchange, once under the
+    # join-back — plus a third tokenize pass for the closed-form per-doc
+    # span total and a final join to attach it): ONE span-hash pass feeds
+    # a single (sh)-keyed repartition; the dup set (min(doc) != max(doc),
+    # map-side-combinable) derives from that exchange with no further
+    # shuffle, the mark-back left join runs on the same partitioning
+    # (zero additional exchange), and ONE map-side-combinable per-doc
+    # aggregate counts total and dup spans together — the explode emits
+    # exactly greatest(n_tokens - SPAN_K + 1, 1) rows per doc, so
+    # count(*) per doc IS the oracle's n_spans and the totals branch and
+    # final join are gone. Measured 2.52 s → 1.73 s at the 50k-doc scale
+    # stand-in, identical rows. A pathologically hot span still lands its
+    # rows in one join partition — exactly as the old join-back did — and
+    # both per-key aggregates partial-combine before their exchanges.
     docs = load_table(spark, sf_dir, "documents", parallel=True)
-    h = D.token_span_hashes(
-        docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_STRIDE
-    ).select("doc_id", "sh")
+    h = (
+        D.token_span_hashes(
+            docs, "text", "doc_id", span_k=SPAN_K, stride=SPAN_STRIDE
+        )
+        .select("doc_id", "sh")
+        .repartition(F.col("sh"))
+    )
     dup = (
         h.groupBy("sh")
         .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         .filter(F.col("_mn") != F.col("_mx"))
-        .select("sh")
+        .select("sh", F.lit(1).alias("_d"))
     )
-    dupc = (
-        h.join(dup, "sh")
+    return (
+        h.join(dup, "sh", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
-    w = docs.select("doc_id", T.word_tokens(F.col("text")).alias("_w"))
-    n_spans = F.greatest(
-        F.size("_w") - F.lit(SPAN_K - 1), F.lit(1)
-    ).cast("long")
-    totals = w.select("doc_id", n_spans.alias("n_spans")).filter(
-        F.col("n_spans").isNotNull()
-    )
-    return dupc.join(totals, "doc_id").select(
-        "doc_id",
-        "n_spans",
-        "n_dup_spans",
-        F.round(
-            F.col("n_dup_spans").cast("double") / F.col("n_spans"), 5
-        ).alias("dup_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("_d").alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 5
+            ).alias("dup_frac"),
+        )
     )
 
 
