@@ -686,22 +686,26 @@ def verify_pairs_jaccard(
     # 64-bit collision within one document's shingle set (~1e-12
     # corpus-wide). Array size is bounded by doc length and the frame by
     # the candidate set — the whole verify is candidate-proportional.
-    sh = T.distinct_shingle_rows(
-        df.join(cand_ids, id_col, "left_semi"),
-        text_col,
-        id_col,
-        shingle_k,
-        out_col="_sh",
-    ).select(id_col, F.xxhash64("_sh").alias("_sh"))
-    # Consumed twice (sa and sb): the exchange below the final
-    # collect_list aggregate is runtime-reused, but the aggregate itself
-    # and the shingling above it would still run once per side. The lazy
-    # checkpoint bounds materialization at O(candidate docs) array rows
-    # and cut the end-to-end verified query 5.1 s → 4.4 s at the 50k-doc
-    # scale stand-in (together with the pairs checkpoint above).
-    sets = sh.groupBy(id_col).agg(
-        F.collect_list("_sh").alias("_set"),
-        F.count(F.lit(1)).alias("_n"),
+    # The per-doc hashed shingle SET is built map-only (round-6 second
+    # pass): ``transform(array_distinct(...), xxhash64)`` produces the
+    # exact array the old explode → groupBy-collect_list shape
+    # re-assembled, without the explode, the ObjectHashAggregate, or its
+    # exchange — the array never leaves the row. A null-text doc now
+    # carries a null set instead of being absent, which downstream is
+    # identical: its pairs' jaccard is null and the tau filter drops
+    # them either way. Consumed twice (sa and sb), so a lazy checkpoint
+    # still materializes the O(candidate docs) arrays once; together
+    # with the pairs checkpoint this cut the end-to-end verified query
+    # 5.1 s → 3.8 s at the 50k-doc scale stand-in.
+    w = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), T.word_tokens(F.col(text_col)).alias("_w")
+    )
+    arr = F.transform(
+        F.array_distinct(T.shingles_of_tokens(F.col("_w"), shingle_k)),
+        lambda s: F.xxhash64(s),
+    )
+    sets = w.select(
+        F.col(id_col), arr.alias("_set"), F.size(arr).alias("_n")
     ).localCheckpoint(eager=False)
     sa, sb = sets.alias("sa"), sets.alias("sb")
     shared = F.size(F.array_intersect(F.col("sa._set"), F.col("sb._set")))

@@ -1393,17 +1393,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # being dropped. groupBy(shingle).count combines map-side, and the
     # over-cutoff list is small by construction (only shingles with
     # df > NGRAM_MAX_DF).
-    # Round-6 second pass: the stop list is now derived FROM the
-    # shingle-keyed repartition the pair join needs anyway (one exchange,
-    # one tokenize pass — the old shape's separate groupBy exchange
-    # re-derived scan→tokenize→shingle just to count), the anti-join is
-    # pinned broadcast (the stop list is small by construction), and the
-    # filtered frame is lazily localCheckpoint'ed so its three consumers
-    # (both pair-join sides and the sizes branch) read the materialized
-    # blocks instead of re-filtering — measured 2.87 s → 1.92 s at the
-    # 50k-doc scale stand-in with identical rows. The checkpoint
-    # materializes O(post-cutoff shingle rows) — the same frame the join
-    # exchange already carries — inside the timed query, per invocation.
+    # Round-6 second pass: everything hangs off ONE shingle-keyed
+    # exchange — the stop list derives from it (the old shape's separate
+    # groupBy exchange re-derived scan→tokenize→shingle just to count),
+    # the anti-join is pinned broadcast (the stop list is small by
+    # construction), and the surviving shingles fold into per-shingle
+    # sorted doc ARRAYS whose C(df,2) ordered pairs are generated
+    # map-side with a nested array transform — no pair self-join at all.
+    # The arrays are bounded at NGRAM_MAX_DF elements BECAUSE the
+    # anti-join runs first (a hot boilerplate shingle never reaches
+    # collect_list — the skew-safety the round-5 verdict demanded stays
+    # intact), and the per-doc sizes come from re-exploding the same
+    # arrays. The groups frame is lazily localCheckpoint'ed
+    # (O(post-cutoff distinct shingles) rows, ≤ NGRAM_MAX_DF ints each)
+    # so its two consumers (pair generation and sizes) read materialized
+    # blocks, per invocation. Measured 2.87 s → 1.96 s at the 50k-doc
+    # scale stand-in with identical rows vs the round-start shape.
     shp = sh0.repartition(F.col("shingle"))
     stop = (
         shp.groupBy("shingle")
@@ -1411,22 +1416,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") > NGRAM_MAX_DF)
         .select("shingle")
     )
-    sh = shp.join(F.broadcast(stop), "shingle", "left_anti").localCheckpoint(
-        eager=False
+    sh = shp.join(F.broadcast(stop), "shingle", "left_anti")
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("_docs"))
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    ds = F.array_sort(F.col("_docs"))
+    combos = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        groups.select(F.explode(combos).alias("_p"))
+        .select(
+            F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        groups.select(F.explode("_docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -2398,7 +2415,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_doc"), "shingle"
     )
     train = sh.filter(~is_bench)
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Per-doc distinct-shingle counts MAP-ONLY (round-6 second pass):
+    # the explode emits exactly size(array_distinct(shingles)) rows per
+    # doc, so counting them back with a groupBy paid an explode pass and
+    # an exchange to recompute a number available on the un-exploded
+    # row. Measured 1.97 s → 1.26 s at the 50k-doc scale stand-in,
+    # identical rows.
+    w = docs.filter(~is_bench).select(
+        "doc_id", T.word_tokens(F.col("text")).alias("_w")
+    )
+    sizes = w.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(T.shingles_of_tokens(F.col("_w"), 3))
+        ).alias("n"),
+    )
     hits = (
         train.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_doc")
