@@ -151,3 +151,42 @@ def test_verified_canonical_keeps_superset_of_unverified(spark):
         ).collect()
     }
     assert unverified <= verified
+
+
+def test_verify_pairs_jaccard_small_corpus_and_null_text(spark):
+    """Focused gate for the round-6 map-only set build inside
+    verify_pairs_jaccard: exact Jaccard against a pure-Python reference
+    on a tiny corpus, plus the null-text edge — a candidate pair naming
+    a null-text doc carries a null set (it used to have NO set row) and
+    must be dropped by the tau filter either way."""
+    docs = spark.createDataFrame(
+        DOCS + [(5, None)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (0, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.verify_pairs_jaccard(
+            docs, pairs, text_col="text", id_col="doc_id",
+            shingle_k=3, tau=0.5,
+        ).collect()
+    }
+
+    def sh(text):
+        w = text.strip().lower().split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ref = {}
+    by_id = dict(DOCS)
+    for a, b in [(0, 1), (2, 3), (0, 4)]:
+        sa, sb = sh(by_id[a]), sh(by_id[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            ref[(a, b)] = j
+    assert set(out) == set(ref)
+    for k, j in ref.items():
+        assert abs(out[k] - j) < 1e-9
+    assert (4, 5) not in out  # null-text pair dropped, not erroring
