@@ -1422,7 +1422,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("_docs"))
         .localCheckpoint(eager=False)
     )
-    ds = F.array_sort(F.col("_docs"))
+    # The sorted array is materialized as its own projected column: a
+    # bare `array_sort(_docs)` inlined into the combo expression is
+    # re-evaluated at every lambda reference — inside the per-element
+    # slice that makes it O(df² log df) per shingle, the same
+    # CSE-inlining trap the tokenize-once fix closed for split().
+    # Multiple references below keep CollapseProject from inlining it
+    # back. Measured 2.06 → 1.74 s at sf0.1 / 2.56 → 2.29 s at the
+    # 50k-doc stand-in, identical rows.
+    ds = F.col("_ds")
     combos = F.flatten(
         F.transform(
             ds,
@@ -1433,7 +1441,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shared = (
-        groups.select(F.explode(combos).alias("_p"))
+        groups.select(F.array_sort("_docs").alias("_ds"))
+        .select(F.explode(combos).alias("_p"))
         .select(
             F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b")
         )
